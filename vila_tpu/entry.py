@@ -1,0 +1,299 @@
+"""Model loading/saving: VILA component-wise checkpoint layout.
+
+Capability parity: `llava.load` (llava/entry.py:29-54) +
+`load_pretrained_model` (llava/model/builder.py:27) + component-wise
+`save_pretrained` (llava/model/llava_arch.py:158-204). Checkpoints are
+directories with `llm/`, `vision_tower/`, `mm_projector/` subdirs, each an
+HF model dir, plus a top-level config.json with the multimodal fields
+(llava/model/configuration_llava.py:23).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vila_tpu.conversation import auto_set_conversation_mode
+from vila_tpu.models import projector as projector_lib
+from vila_tpu.models import qwen2, siglip, vlm
+from vila_tpu.utils import hf_import
+
+
+def _default_dtype() -> str:
+    try:
+        if jax.devices()[0].platform == "tpu":
+            return "bfloat16"
+    except Exception:
+        pass
+    return "float32"
+
+
+def build_config(
+    model_path: str, dtype: Optional[str] = None, **overrides
+) -> vlm.VLMConfig:
+    """Assemble a VLMConfig from a component checkpoint directory."""
+    dtype = dtype or _default_dtype()
+    top = hf_import.load_hf_config(model_path)
+
+    llm_dir = os.path.join(model_path, "llm")
+    vt_dir = os.path.join(model_path, "vision_tower")
+    proj_dir = os.path.join(model_path, "mm_projector")
+
+    llm_hf = hf_import.load_hf_config(llm_dir)
+    vt_hf = hf_import.load_hf_config(vt_dir)
+    if "vision_config" in vt_hf:
+        vt_hf = vt_hf["vision_config"]
+    proj_hf = hf_import.load_hf_config(proj_dir)
+
+    llm_cfg = qwen2.LLMConfig.from_hf_config(llm_hf, dtype=dtype)
+    vis_cfg = siglip.SigLIPConfig.from_hf_config(vt_hf, dtype=dtype)
+
+    s2_scales = top.get("s2_scales") or (vis_cfg.image_size,)
+    if isinstance(s2_scales, str):
+        s2_scales = tuple(int(s) for s in s2_scales.split(","))
+    else:
+        s2_scales = tuple(s2_scales)
+
+    num_scales = len(s2_scales) if top.get("dynamic_s2") else 1
+    proj_cfg = projector_lib.ProjectorConfig(
+        projector_type=proj_hf.get("mm_projector_type", "mlp_downsample"),
+        mm_hidden_size=top.get("mm_hidden_size")
+        or vis_cfg.hidden_size * num_scales,
+        hidden_size=llm_cfg.hidden_size,
+        dtype=dtype,
+    )
+
+    aspect = top.get("image_aspect_ratio") or "resize"
+    if top.get("dynamic_s2") and "dynamic_s2" not in aspect:
+        aspect = "dynamic_s2"
+
+    cfg = vlm.VLMConfig(
+        llm=llm_cfg,
+        vision=vis_cfg,
+        projector=proj_cfg,
+        vision_feature_layer=top.get("mm_vision_select_layer", -2),
+        vision_select=top.get("mm_vision_select_feature", "cls_patch"),
+        image_aspect_ratio=aspect,
+        num_video_frames=top.get("num_video_frames") or 8,
+        fps=top.get("fps") or 0.0,
+        min_tiles=top.get("min_tiles") or 1,
+        max_tiles=top.get("max_tiles") or 12,
+        s2_scales=s2_scales,
+        s2_resize_output_to_scale_idx=top.get("s2_resize_output_to_scale_idx", 0),
+    )
+    return dataclasses_replace(cfg, **overrides) if overrides else cfg
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
+def load_params(
+    model_path: str, cfg: vlm.VLMConfig, param_dtype=None
+) -> Dict[str, Any]:
+    """Load and convert all component weights to vila_tpu pytrees."""
+    param_dtype = param_dtype or jnp.dtype(cfg.llm.dtype)
+
+    llm_sd = hf_import.load_safetensors_dir(os.path.join(model_path, "llm"))
+    vt_sd = hf_import.load_safetensors_dir(os.path.join(model_path, "vision_tower"))
+    proj_sd = hf_import.load_safetensors_dir(os.path.join(model_path, "mm_projector"))
+
+    params = {
+        "llm": hf_import.convert_llm_state_dict(llm_sd, cfg.llm),
+        "vision_tower": hf_import.convert_siglip_state_dict(vt_sd, cfg.vision),
+        "mm_projector": hf_import.convert_projector_state_dict(proj_sd),
+    }
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype=param_dtype), params)
+
+
+def load_tokenizer(model_path: str):
+    from transformers import AutoTokenizer
+
+    from vila_tpu.data.tokenizer_utils import add_media_tokens
+
+    tokenizer = AutoTokenizer.from_pretrained(os.path.join(model_path, "llm"))
+    add_media_tokens(tokenizer)
+    return tokenizer
+
+
+def load(
+    model_path: str,
+    devices=None,
+    dtype: Optional[str] = None,
+    **kwargs,
+):
+    """Load a checkpoint into a ready GenerationEngine (llava/entry.py:29)."""
+    from vila_tpu.inference.generate import GenerationEngine
+
+    auto_set_conversation_mode(model_path)
+    cfg = build_config(model_path, dtype=dtype)
+    params = load_params(model_path, cfg)
+    tokenizer = load_tokenizer(model_path)
+    return GenerationEngine(params, cfg, tokenizer, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# Saving (component-wise, HF-compatible layout)
+# --------------------------------------------------------------------------
+
+
+def save(params: Dict[str, Any], cfg: vlm.VLMConfig, tokenizer, out_dir: str):
+    """Save in the reference's component layout (llava_arch.py:158-204) so
+    checkpoints round-trip between vila_tpu and HF tooling."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def np32(x):
+        return np.ascontiguousarray(np.asarray(jax.device_get(x), dtype=np.float32))
+
+    def np32t(x):
+        # safetensors silently mis-serializes non-contiguous views;
+        # transposes must be materialized.
+        return np.ascontiguousarray(np32(x).T)
+
+    # --- llm ---
+    llm_dir = os.path.join(out_dir, "llm")
+    os.makedirs(llm_dir, exist_ok=True)
+    lp = params["llm"]
+    sd = {"model.embed_tokens.weight": np32(lp["embed_tokens"]["embedding"])}
+    for i in range(cfg.llm.num_hidden_layers):
+        pre = f"model.layers.{i}."
+        L = lp["layers"]
+        sd[pre + "input_layernorm.weight"] = np32(L["input_layernorm"]["scale"][i])
+        sd[pre + "post_attention_layernorm.weight"] = np32(
+            L["post_attention_layernorm"]["scale"][i]
+        )
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            sd[pre + f"self_attn.{name}.weight"] = np32t(L[name]["kernel"][i])
+            if "bias" in L[name]:
+                sd[pre + f"self_attn.{name}.bias"] = np32(L[name]["bias"][i])
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            sd[pre + f"mlp.{name}.weight"] = np32t(L[name]["kernel"][i])
+    sd["model.norm.weight"] = np32(lp["norm"]["scale"])
+    if not cfg.llm.tie_word_embeddings:
+        sd["lm_head.weight"] = np32t(lp["lm_head"]["kernel"])
+    save_file(sd, os.path.join(llm_dir, "model.safetensors"))
+    with open(os.path.join(llm_dir, "config.json"), "w") as f:
+        json.dump(
+            {
+                "model_type": "qwen2",
+                "vocab_size": cfg.llm.vocab_size,
+                "hidden_size": cfg.llm.hidden_size,
+                "intermediate_size": cfg.llm.intermediate_size,
+                "num_hidden_layers": cfg.llm.num_hidden_layers,
+                "num_attention_heads": cfg.llm.num_attention_heads,
+                "num_key_value_heads": cfg.llm.num_key_value_heads,
+                "head_dim": cfg.llm.head_dim,
+                "rope_theta": cfg.llm.rope_theta,
+                "rms_norm_eps": cfg.llm.rms_norm_eps,
+                "tie_word_embeddings": cfg.llm.tie_word_embeddings,
+                "max_position_embeddings": cfg.llm.max_position_embeddings,
+                "torch_dtype": "bfloat16",
+            },
+            f,
+            indent=2,
+        )
+    if tokenizer is not None:
+        tokenizer.save_pretrained(llm_dir)
+
+    # --- vision tower ---
+    vt_dir = os.path.join(out_dir, "vision_tower")
+    os.makedirs(vt_dir, exist_ok=True)
+    vp = params["vision_tower"]
+    vsd = {}
+    pk = np32(vp["patch_embedding"]["kernel"])  # (P*P*3, D)
+    p, d = cfg.vision.patch_size, cfg.vision.hidden_size
+    vsd["vision_model.embeddings.patch_embedding.weight"] = (
+        np.ascontiguousarray(pk.reshape(p, p, 3, d).transpose(3, 2, 0, 1))
+    )
+    vsd["vision_model.embeddings.patch_embedding.bias"] = np32(
+        vp["patch_embedding"]["bias"]
+    )
+    vsd["vision_model.embeddings.position_embedding.weight"] = np32(
+        vp["position_embedding"]["embedding"]
+    )
+    for i in range(cfg.vision.num_hidden_layers):
+        pre = f"vision_model.encoder.layers.{i}."
+        L = vp["layers"]
+        for ln in ("layer_norm1", "layer_norm2"):
+            vsd[pre + f"{ln}.weight"] = np32(L[ln]["scale"][i])
+            vsd[pre + f"{ln}.bias"] = np32(L[ln]["bias"][i])
+        for name, hf in (
+            ("q_proj", "self_attn.q_proj"),
+            ("k_proj", "self_attn.k_proj"),
+            ("v_proj", "self_attn.v_proj"),
+            ("out_proj", "self_attn.out_proj"),
+            ("fc1", "mlp.fc1"),
+            ("fc2", "mlp.fc2"),
+        ):
+            vsd[pre + hf + ".weight"] = np32t(L[name]["kernel"][i])
+            vsd[pre + hf + ".bias"] = np32(L[name]["bias"][i])
+    vsd["vision_model.post_layernorm.weight"] = np32(vp["post_layernorm"]["scale"])
+    vsd["vision_model.post_layernorm.bias"] = np32(vp["post_layernorm"]["bias"])
+    save_file(vsd, os.path.join(vt_dir, "model.safetensors"))
+    with open(os.path.join(vt_dir, "config.json"), "w") as f:
+        json.dump(
+            {
+                "model_type": "siglip_vision_model",
+                "hidden_size": cfg.vision.hidden_size,
+                "intermediate_size": cfg.vision.intermediate_size,
+                "num_hidden_layers": cfg.vision.num_hidden_layers,
+                "num_attention_heads": cfg.vision.num_attention_heads,
+                "image_size": cfg.vision.image_size,
+                "patch_size": cfg.vision.patch_size,
+                "layer_norm_eps": cfg.vision.layer_norm_eps,
+            },
+            f,
+            indent=2,
+        )
+
+    # --- projector ---
+    proj_dir = os.path.join(out_dir, "mm_projector")
+    os.makedirs(proj_dir, exist_ok=True)
+    psd = {}
+    for idx, slot in params["mm_projector"].items():
+        if "kernel" in slot:
+            psd[f"layers.{idx}.weight"] = np32t(slot["kernel"])
+        if "scale" in slot:
+            psd[f"layers.{idx}.weight"] = np32(slot["scale"])
+        if "bias" in slot:
+            psd[f"layers.{idx}.bias"] = np32(slot["bias"])
+    save_file(psd, os.path.join(proj_dir, "model.safetensors"))
+    with open(os.path.join(proj_dir, "config.json"), "w") as f:
+        json.dump(
+            {
+                "model_type": "v2l_projector",
+                "mm_projector_type": cfg.projector.projector_type,
+            },
+            f,
+            indent=2,
+        )
+
+    # --- top-level config ---
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(
+            {
+                "model_type": "llava",
+                "image_aspect_ratio": cfg.image_aspect_ratio,
+                "num_video_frames": cfg.num_video_frames,
+                "fps": cfg.fps,
+                "mm_hidden_size": cfg.projector.mm_hidden_size,
+                "mm_vision_select_layer": cfg.vision_feature_layer,
+                "mm_vision_select_feature": cfg.vision_select,
+                "min_tiles": cfg.min_tiles,
+                "max_tiles": cfg.max_tiles,
+                "dynamic_s2": cfg.image_aspect_ratio == "dynamic_s2",
+                "s2_scales": list(cfg.s2_scales),
+                "s2_resize_output_to_scale_idx": cfg.s2_resize_output_to_scale_idx,
+            },
+            f,
+            indent=2,
+        )

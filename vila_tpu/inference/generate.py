@@ -1,0 +1,450 @@
+"""Generation engine: prompt assembly, bucketed prefill, chunked decode.
+
+Capability parity: `generate`/`generate_content`
+(llava/model/llava_arch.py:823-948) and `extract_media`
+(llava/utils/media.py:93), rebuilt for XLA's compile-once model:
+
+  * Prompt/token layouts are computed on host; media tokens expand into
+    fixed placeholder runs (+ the encoder's "\n" end-token as real text ids,
+    matching BasicImageEncoder end_tokens — encoders/image/basic.py:11).
+  * Shapes are bucketed (prompt length, tile count, cache length) so a
+    handful of compiled programs serve all requests.
+  * Decode runs in jitted `lax.scan` chunks with a donated KV cache —
+    one host sync per chunk instead of per token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vila_tpu.constants import MEDIA_TOKENS
+from vila_tpu.data import preprocess
+from vila_tpu.data.tokenizer_utils import tokenize_conversation
+from vila_tpu.media import Image, Video
+from vila_tpu.models import qwen2, vlm
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    """Mirrors the knobs of `default_generation_config` (llava_arch.py:950)."""
+
+    max_new_tokens: int = 256
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0  # 0 = disabled
+    seed: int = 0
+    stop_token_ids: Tuple[int, ...] = ()
+
+
+def _bucket(n: int, sizes: Sequence[int]) -> int:
+    for s in sizes:
+        if n <= s:
+            return s
+    return sizes[-1]
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+PROMPT_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+TILE_BUCKETS = (1, 2, 4, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+
+
+def expand_media_tokens(
+    ids: np.ndarray,
+    marker_id: int,
+    tokens_per_marker: List[int],
+    end_ids: Sequence[int],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Expand each media marker into a placeholder run (+ end-token ids).
+
+    Returns (expanded_ids, media_positions) where media_positions are the
+    flat indices of every placeholder slot, in media order.
+    """
+    out: List[int] = []
+    positions: List[int] = []
+    m = 0
+    for tok in ids.tolist():
+        if tok == marker_id:
+            n = tokens_per_marker[m]
+            m += 1
+            positions.extend(range(len(out), len(out) + n))
+            out.extend([marker_id] * n)
+            out.extend(end_ids)
+        else:
+            out.append(tok)
+    if m != len(tokens_per_marker):
+        raise ValueError(
+            f"media count mismatch: {len(tokens_per_marker)} media objects "
+            f"but {m} markers in the prompt"
+        )
+    return np.asarray(out, dtype=np.int32), np.asarray(positions, dtype=np.int32)
+
+
+def extract_media(
+    conversation: List[Dict[str, Any]],
+    num_video_frames: int,
+    fps: float = 0.0,
+) -> Dict[str, List[Any]]:
+    """Flatten prompt parts into text + media lists (utils/media.py:93-130).
+
+    Videos are expanded to `num_video_frames` image markers + PIL frames,
+    exactly like the reference inference path.
+    """
+    from vila_tpu.utils.media_loader import load_video_frames
+
+    media: Dict[str, List[Any]] = {"image": []}
+    for message in conversation:
+        parts = message["value"]
+        if not isinstance(parts, (list, tuple)):
+            parts = [parts]
+        text = ""
+        for part in parts:
+            if isinstance(part, str):
+                for token in MEDIA_TOKENS.values():
+                    part = part.replace(token, "").strip() if token in part else part
+                text += part
+            elif isinstance(part, Video):
+                frames = load_video_frames(
+                    part, num_frames=num_video_frames, fps=fps
+                )
+                media["image"].extend(frames)
+                text += MEDIA_TOKENS["image"] * len(frames)
+            else:  # Image / PIL / ndarray
+                media["image"].append(preprocess.load_image(part))
+                text += MEDIA_TOKENS["image"]
+        message["value"] = text
+    return media
+
+
+class GenerationEngine:
+    """Compiled multimodal generation over a fixed parameter set."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        cfg: vlm.VLMConfig,
+        tokenizer,
+        decode_chunk: int = 8,
+        max_cache_len: int = 8192,
+    ) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.decode_chunk = decode_chunk
+        self.max_cache_len = max_cache_len
+        self._newline_ids = tuple(
+            tokenizer("\n", add_special_tokens=False).input_ids
+        )
+        self.image_token_id = tokenizer.media_token_ids["image"]
+
+        from vila_tpu.data.tokenizer_utils import infer_stop_tokens
+
+        self.stop_token_ids = tuple(
+            tokenizer.convert_tokens_to_ids(t)
+            for t in infer_stop_tokens(tokenizer)
+            if tokenizer.convert_tokens_to_ids(t) is not None
+        )
+
+    # ------------------------------------------------------------------
+    # Compiled steps
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def _encode(self):
+        """Vision encode, bucketed by tile count (separate from prefill so
+        prompt-length buckets and tile buckets don't multiply)."""
+        cfg = self.cfg
+
+        @jax.jit
+        def encode(params, tiles):
+            feats = vlm.encode_images(params, cfg, tiles)
+            return feats.reshape(-1, feats.shape[-1])
+
+        return encode
+
+    @functools.cached_property
+    def _encode_s2(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("block_size",))
+        def encode_s2(params, tiles, block_size):
+            from vila_tpu.models import s2 as s2_lib
+
+            return s2_lib.encode_image_s2(params, cfg, tiles, block_size)
+
+        return encode_s2
+
+    @functools.cached_property
+    def _prefill(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, donate_argnums=(5,))
+        def prefill(params, ids, token_valid, media_embeds, media_pos, cache,
+                    prompt_last):
+            embeds = qwen2.embed_tokens(params["llm"], cfg.llm, ids)
+            embeds = vlm.splice_media(embeds, media_embeds, media_pos)
+            logits, cache = qwen2.forward(
+                params["llm"], cfg.llm,
+                inputs_embeds=embeds,
+                token_valid=token_valid,
+                cache=cache,
+                gather_position=prompt_last,
+            )
+            return logits[:, 0], cache
+
+        return prefill
+
+    @functools.cached_property
+    def _decode(self):
+        cfg = self.cfg
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("steps", "do_sample", "temperature", "top_p", "top_k"),
+            donate_argnums=(2,),
+        )
+        def decode(params, tok, cache, positions, rng, steps, do_sample,
+                   temperature, top_p, top_k):
+            def body(carry, _):
+                tok, cache, rng, pos = carry
+                logits, cache = qwen2.forward(
+                    params["llm"], cfg.llm,
+                    input_ids=tok[:, None],
+                    positions=pos[:, None],
+                    cache=cache,
+                )
+                rng, sub = jax.random.split(rng)
+                nxt = sample_token(
+                    logits[:, 0], sub, do_sample, temperature, top_p, top_k
+                )
+                return (nxt, cache, rng, pos + 1), nxt
+
+            (tok, cache, rng, positions), toks = jax.lax.scan(
+                body, (tok, cache, rng, positions), None, length=steps
+            )
+            return toks.T, tok, cache, positions, rng  # toks: (B, steps)
+
+        return decode
+
+    # ------------------------------------------------------------------
+    # Prompt assembly (host)
+    # ------------------------------------------------------------------
+
+    def prepare_inputs(self, prompt: Union[str, List[Any]]) -> Dict[str, Any]:
+        """prompt -> {"input_ids", "media_pos", "media": [entries]}.
+
+        Each media entry is {"kind": "plain"|"s2", "tiles": uint8 array,
+        "block_size": (h, w) | None}; entries are in prompt-marker order.
+        """
+        cfg = self.cfg
+        conversation = [{"from": "human", "value": prompt}]
+        media = extract_media(conversation, cfg.num_video_frames, cfg.fps)
+
+        entries: List[Dict[str, Any]] = []
+        tokens_per_marker: List[int] = []
+        new_text = conversation[0]["value"]
+
+        if media["image"]:
+            is_multi = len(media["image"]) > 1
+            aspect = cfg.image_aspect_ratio
+            # Reference behavior (llava_arch.py:856-880): dynamic tiling only
+            # for the single-image case; multi-image/video uses plain resize
+            # unless video_max_tiles > 1.
+            use_dynamic = aspect in ("dynamic", "dynamic_s2") and not is_multi
+            parts = new_text.split(MEDIA_TOKENS["image"])
+            rebuilt = parts[0]
+            for i, img in enumerate(media["image"]):
+                if use_dynamic and aspect == "dynamic":
+                    tiles, _ = preprocess.process_image(
+                        img,
+                        image_size=cfg.vision.image_size,
+                        image_aspect_ratio="dynamic",
+                        min_tiles=cfg.min_tiles,
+                        max_tiles=cfg.max_tiles,
+                    )
+                    marker = f"{MEDIA_TOKENS['image']}\n" * tiles.shape[0]
+                    tokens_per_marker.extend(
+                        [cfg.tokens_per_image] * tiles.shape[0]
+                    )
+                    entries.append({"kind": "plain", "tiles": tiles})
+                elif use_dynamic and aspect == "dynamic_s2":
+                    from vila_tpu.models import s2 as s2_lib
+
+                    tiles, block_size = preprocess.process_image(
+                        img,
+                        image_size=cfg.vision.image_size,
+                        image_aspect_ratio="dynamic_s2",
+                        max_tiles=cfg.max_tiles,
+                        s2_scales=cfg.s2_scales,
+                    )
+                    marker = MEDIA_TOKENS["image"]
+                    tokens_per_marker.append(
+                        s2_lib.tokens_for_block_size(cfg, block_size)
+                    )
+                    entries.append(
+                        {"kind": "s2", "tiles": tiles, "block_size": block_size}
+                    )
+                else:
+                    tiles, _ = preprocess.process_image(
+                        img,
+                        image_size=cfg.vision.image_size,
+                        image_aspect_ratio=(
+                            "resize"
+                            if aspect in ("dynamic", "dynamic_s2", None)
+                            else aspect
+                        ),
+                    )
+                    marker = MEDIA_TOKENS["image"]
+                    tokens_per_marker.append(cfg.tokens_per_image)
+                    entries.append({"kind": "plain", "tiles": tiles})
+                rebuilt += marker + parts[i + 1]
+            new_text = rebuilt
+
+        conversation[0]["value"] = new_text
+        ids = tokenize_conversation(
+            conversation, self.tokenizer, add_generation_prompt=True
+        )
+        expanded, media_pos = expand_media_tokens(
+            ids, self.image_token_id, tokens_per_marker, self._newline_ids
+        )
+        return {"input_ids": expanded, "media_pos": media_pos, "media": entries}
+
+    def encode_media(self, entries: List[Dict[str, Any]]) -> Optional[jnp.ndarray]:
+        """Encode media entries to a flat (M, D) embedding matrix."""
+        if not entries:
+            return None
+        if all(e["kind"] == "plain" for e in entries):
+            tiles = np.concatenate([e["tiles"] for e in entries])
+            n = tiles.shape[0]
+            n_pad = _bucket(n, TILE_BUCKETS)
+            tiles_p = np.zeros((n_pad,) + tiles.shape[1:], tiles.dtype)
+            tiles_p[:n] = tiles
+            return self._encode(self.params, jnp.asarray(tiles_p))
+        parts = []
+        for e in entries:
+            if e["kind"] == "s2":
+                parts.append(
+                    self._encode_s2(
+                        self.params,
+                        jnp.asarray(e["tiles"]),
+                        tuple(e["block_size"]),
+                    )
+                )
+            else:
+                parts.append(self._encode(self.params, jnp.asarray(e["tiles"])))
+        return jnp.concatenate(parts)
+
+    # ------------------------------------------------------------------
+    # Generation
+    # ------------------------------------------------------------------
+
+    def generate_ids(
+        self,
+        inputs: Dict[str, Any],
+        generation_config: Optional[GenerationConfig] = None,
+    ) -> List[int]:
+        gc = generation_config or GenerationConfig()
+        stop_ids = set(gc.stop_token_ids or self.stop_token_ids)
+        cfg = self.cfg
+
+        expanded_ids = inputs["input_ids"]
+        media_pos = inputs["media_pos"]
+        prompt_len = int(expanded_ids.shape[0])
+        s_pad = _bucket(prompt_len, PROMPT_BUCKETS)
+        cache_len = min(
+            self.max_cache_len,
+            _round_up(s_pad + gc.max_new_tokens, 256),
+        )
+
+        ids = np.zeros((1, s_pad), np.int32)
+        ids[0, :prompt_len] = expanded_ids
+        valid = np.zeros((1, s_pad), bool)
+        valid[0, :prompt_len] = True
+
+        media_embeds = self.encode_media(inputs["media"])
+        if media_embeds is None:
+            media_embeds = jnp.zeros((8, cfg.llm.hidden_size), cfg.llm.compute_dtype)
+        mp = np.full((media_embeds.shape[0],), 1 << 30, np.int32)
+        mp[: len(media_pos)] = media_pos
+
+        cache = qwen2.init_cache(cfg.llm, batch=1, max_len=cache_len)
+        prompt_last = jnp.asarray([prompt_len - 1], jnp.int32)
+
+        first_logits, cache = self._prefill(
+            self.params, jnp.asarray(ids), jnp.asarray(valid),
+            media_embeds, jnp.asarray(mp), cache, prompt_last,
+        )
+        rng = jax.random.PRNGKey(gc.seed)
+        rng, sub = jax.random.split(rng)
+        tok = sample_token(
+            first_logits, sub, gc.do_sample, gc.temperature, gc.top_p, gc.top_k
+        )
+
+        out: List[int] = [int(tok[0])]
+        if out[-1] in stop_ids:
+            return out[:-1]
+
+        positions = jnp.asarray([prompt_len], jnp.int32)
+        steps_left = gc.max_new_tokens - 1
+        while steps_left > 0:
+            steps = min(self.decode_chunk, steps_left)
+            toks, tok, cache, positions, rng = self._decode(
+                self.params, tok, cache, positions, rng,
+                steps, gc.do_sample, gc.temperature, gc.top_p, gc.top_k,
+            )
+            chunk = np.asarray(toks)[0].tolist()
+            for t in chunk:
+                if t in stop_ids:
+                    return out
+                out.append(t)
+            steps_left -= steps
+            if int(positions[0]) >= cache.get("k").shape[2]:
+                break
+        return out
+
+    def generate_content(
+        self,
+        prompt: Union[str, List[Any]],
+        generation_config: Optional[GenerationConfig] = None,
+    ) -> str:
+        """Public API mirroring `generate_content` (llava_arch.py:836)."""
+        inputs = self.prepare_inputs(prompt)
+        out_ids = self.generate_ids(inputs, generation_config)
+        return self.tokenizer.decode(out_ids, skip_special_tokens=True).strip()
+
+
+def sample_token(
+    logits: jnp.ndarray,  # (B, V) float32
+    rng: jax.Array,
+    do_sample: bool,
+    temperature: float,
+    top_p: float,
+    top_k: int,
+) -> jnp.ndarray:
+    """Greedy or temperature/top-k/top-p sampling."""
+    if not do_sample or temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Keep tokens whose cumulative prob (exclusive) < top_p.
+        keep = cum - probs < top_p
+        threshold = jnp.min(
+            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)

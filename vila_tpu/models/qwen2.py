@@ -177,6 +177,7 @@ def forward(
     token_valid: Optional[jnp.ndarray] = None,  # (B, S) False for padding
     cache: Optional[Params] = None,
     last_token_only: bool = False,
+    gather_position: Optional[jnp.ndarray] = None,  # (B,) per-sample index
     return_hidden: bool = False,
     attn_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
@@ -296,7 +297,11 @@ def forward(
         }
 
     h = rms_norm(h, params["norm"]["scale"], cfg.rms_norm_eps)
-    if last_token_only:
+    if gather_position is not None:
+        # Right-padded prefill: keep each sample's last real token only,
+        # so the vocab projection runs on (B, 1) not (B, S).
+        h = h[jnp.arange(b), gather_position][:, None]
+    elif last_token_only:
         h = h[:, -1:]
     if return_hidden:
         return h, new_cache

@@ -108,6 +108,7 @@ def forward(
     token_valid: Optional[jnp.ndarray] = None,
     cache: Optional[Params] = None,
     last_token_only: bool = False,
+    gather_position: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Fused multimodal forward. Returns (logits, new_cache)."""
@@ -125,5 +126,6 @@ def forward(
         token_valid=token_valid,
         cache=cache,
         last_token_only=last_token_only,
+        gather_position=gather_position,
         attn_impl=attn_impl,
     )
