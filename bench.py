@@ -1,0 +1,211 @@
+"""Benchmark: NVILA-8B-shape W4A16 decode tok/s/chip + single-image TTFT.
+
+Mirrors the reference's headline measurement (README.md:61-88): batch size 1,
+single-image prompt, W4A16 LLM (TinyChat parity), bf16 vision tower.
+Baseline to beat: 186.8 tok/s decode, 45.2 ms TTFT on A100 (NVILA-8B-TinyChat).
+
+Timing method: the dev TPU is behind a tunnel where `block_until_ready` does
+not reliably block and tiny host transfers cost ~1 s, so every measurement is
+differential — run K steps chained inside one jit, read back one scalar, and
+subtract the K=1 time. This is also how real serving behaves (no per-token
+host sync).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+
+def build_8b_quantized(dtype="bfloat16"):
+    """NVILA-8B shape: Qwen2-7B LLM (W4A16) + SigLIP-SO400M-448 (bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vila_tpu.models import projector, qwen2, siglip, vlm
+
+    llm = qwen2.LLMConfig(
+        vocab_size=152064,
+        hidden_size=3584,
+        intermediate_size=18944,
+        num_hidden_layers=28,
+        num_attention_heads=28,
+        num_key_value_heads=4,
+        rope_theta=1e6,
+        tie_word_embeddings=False,
+        dtype=dtype,
+    )
+    vis = siglip.SigLIPConfig(dtype=dtype)
+    proj = projector.ProjectorConfig(
+        projector_type="mlp_downsample",
+        mm_hidden_size=1152,
+        hidden_size=3584,
+        dtype=dtype,
+    )
+    cfg = vlm.VLMConfig(llm=llm, vision=vis, projector=proj)
+
+    # Synthetic W4 weights built directly in packed form (no bf16
+    # intermediate — the full bf16 model wouldn't fit in 16 GB HBM).
+    rng = np.random.default_rng(0)
+    L, D, I = llm.num_hidden_layers, llm.hidden_size, llm.intermediate_size
+    hd, Hq, Hkv = llm.head_dim_, llm.num_attention_heads, llm.num_key_value_heads
+    G = 128
+
+    def qslot(din, dout, bias=False):
+        packed = jnp.asarray(
+            rng.integers(0, 255, size=(L, din // 2, dout), dtype=np.uint8)
+        )
+        scales = jnp.full((L, din // G, dout), 0.002, jnp.bfloat16)
+        slot = {"packed": packed, "scales": scales}
+        if bias:
+            slot["bias"] = jnp.zeros((L, dout), jnp.bfloat16)
+        return slot
+
+    def head_slot(din, dout):
+        return {
+            "packed": jnp.asarray(
+                rng.integers(0, 255, size=(din // 2, dout), dtype=np.uint8)
+            ),
+            "scales": jnp.full((din // G, dout), 0.002, jnp.bfloat16),
+        }
+
+    llm_params = {
+        "embed_tokens": {
+            "embedding": jnp.asarray(
+                rng.standard_normal((llm.vocab_size, D)).astype(np.float32)
+                * 0.02,
+                jnp.bfloat16,
+            )
+        },
+        "layers": {
+            "input_layernorm": {"scale": jnp.ones((L, D), jnp.bfloat16)},
+            "q_proj": qslot(D, Hq * hd, bias=True),
+            "k_proj": qslot(D, Hkv * hd, bias=True),
+            "v_proj": qslot(D, Hkv * hd, bias=True),
+            "o_proj": qslot(Hq * hd, D),
+            "post_attention_layernorm": {"scale": jnp.ones((L, D), jnp.bfloat16)},
+            "gate_proj": qslot(D, I),
+            "up_proj": qslot(D, I),
+            "down_proj": qslot(I, D),
+        },
+        "norm": {"scale": jnp.ones((D,), jnp.bfloat16)},
+        "lm_head": head_slot(D, llm.vocab_size),
+    }
+    params = {
+        "llm": llm_params,
+        "vision_tower": siglip.init_params(
+            jax.random.PRNGKey(1), vis, jnp.bfloat16
+        ),
+        "mm_projector": projector.init_params(
+            jax.random.PRNGKey(2), proj, jnp.bfloat16
+        ),
+    }
+    return params, cfg
+
+
+def diff_time(run, n_small, n_big, *args):
+    """Differential timing: (t(n_big) - t(n_small)) / (n_big - n_small)."""
+    float(run(n_small, *args))
+    float(run(n_big, *args))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        float(run(n_small, *args))
+        t1 = time.time() - t0
+        t0 = time.time()
+        float(run(n_big, *args))
+        t2 = time.time() - t0
+        best = min(best, (t2 - t1) / (n_big - n_small))
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vila_tpu.models import qwen2, vlm
+
+    params, cfg = build_8b_quantized()
+    llm_cfg = cfg.llm
+
+    # ---------------- decode throughput ----------------
+    ctx = 1280  # ~single-image prompt: 256 media tokens + text, prefilled
+    cache_len = 2048
+    cache = qwen2.init_cache(llm_cfg, batch=1, max_len=cache_len)
+    # Mark the first `ctx` slots valid so decode attends a realistic window.
+    cache = {
+        "k": cache["k"],
+        "v": cache["v"],
+        "valid": cache["valid"].at[:, :ctx].set(True),
+        "fill": jnp.asarray(ctx, jnp.int32),
+    }
+
+    @partial(jax.jit, static_argnames="n")
+    def decode_run(n, params, cache):
+        def body(carry, _):
+            tok, cache, pos = carry
+            logits, cache = qwen2.forward(
+                params, llm_cfg,
+                input_ids=tok[:, None],
+                positions=pos[:, None],
+                cache=cache,
+            )
+            nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            return (nxt, cache, pos + 1), None
+
+        (tok, cache, _), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((1,), jnp.int32), cache, jnp.full((1,), ctx, jnp.int32)),
+            None,
+            length=n,
+        )
+        return tok.sum()
+
+    step_time = diff_time(
+        lambda n, p, c: decode_run(n, p, c), 1, 65, params["llm"], cache
+    )
+    decode_tps = 1.0 / step_time
+
+    # ---------------- TTFT (single image, bs=1) ----------------
+    s_pad = 512  # prompt bucket: 256 media tokens + text
+    tiles = jnp.zeros((1, 448, 448, 3), jnp.uint8)
+    ids = jnp.zeros((1, s_pad), jnp.int32)
+    media_pos = jnp.arange(14, 14 + 256, dtype=jnp.int32)
+
+    @partial(jax.jit, static_argnames="n")
+    def ttft_run(n, params, ids, tiles, media_pos):
+        def body(carry_ids, _):
+            logits, _ = vlm.forward(
+                params, cfg,
+                input_ids=carry_ids,
+                pixel_values=tiles,
+                media_positions=media_pos,
+                last_token_only=True,
+            )
+            nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+            # Real data dependency so the scan can't be hoisted.
+            return (carry_ids + nxt) % cfg.llm.vocab_size, None
+
+        out, _ = jax.lax.scan(body, ids, None, length=n)
+        return out.sum()
+
+    ttft = diff_time(ttft_run, 1, 6, params, ids, tiles, media_pos)
+
+    result = {
+        "metric": "NVILA-8B-shape W4A16 decode throughput (bs=1, ctx 1280, v5e chip)",
+        "value": round(decode_tps, 2),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(decode_tps / 186.8, 4),
+        "ttft_ms": round(ttft * 1000, 2),
+        "ttft_vs_baseline_ms": 45.2,
+        "notes": "baseline: NVILA-8B-TinyChat on A100 (186.8 tok/s, 45.2 ms TTFT); "
+        "synthetic W4 weights (perf-only); differential timing over chained jit scans",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

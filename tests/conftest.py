@@ -6,7 +6,10 @@ fake CPU devices per SURVEY.md §4's test strategy.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the ambient environment pins JAX_PLATFORMS to the TPU plugin and
+# something re-appends it even when the env var is overridden — the config
+# update below is the only reliable override.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +18,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 # XLA-CPU's default matmul uses an oneDNN bf16/AMX fastmath path; parity
 # tests need true float32 numerics.
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -160,6 +160,10 @@ def init_cache(
 
 
 def _linear(x, p, dtype):
+    if "packed" in p:  # W4A16/W8A16 slot (ops/quant.py)
+        from vila_tpu.ops.quant import quantized_linear
+
+        return quantized_linear(x, p, dtype)
     y = jnp.dot(x, p["kernel"].astype(dtype))
     if "bias" in p:
         y = y + p["bias"].astype(dtype)
@@ -317,6 +321,12 @@ def embed_tokens(params: Params, cfg: LLMConfig, input_ids: jnp.ndarray):
 def compute_logits(params: Params, cfg: LLMConfig, hidden: jnp.ndarray):
     if cfg.tie_word_embeddings:
         w = params["embed_tokens"]["embedding"].T
+    elif "packed" in params["lm_head"]:
+        from vila_tpu.ops.quant import quantized_linear
+
+        return quantized_linear(
+            hidden, params["lm_head"], cfg.compute_dtype
+        ).astype(jnp.float32)
     else:
         w = params["lm_head"]["kernel"]
     return jnp.dot(

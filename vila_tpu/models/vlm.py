@@ -129,3 +129,50 @@ def forward(
         gather_position=gather_position,
         attn_impl=attn_impl,
     )
+
+
+def forward_batch(
+    params: Params,
+    cfg: VLMConfig,
+    batch: Dict[str, jnp.ndarray],
+    *,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """Training forward over a collated batch. Returns logits (B, S, V).
+
+    Batch layout (see vila_tpu.data.collate):
+      input_ids:       (B, S) with media placeholders expanded
+      positions:       (B, S) RoPE positions (restart per packed segment)
+      segment_ids:     (B, S) packing segments (0 = padding)
+      pixel_values:    (B, T, s, s, 3) per-sample tiles (zero-padded)
+      media_positions: (B, M) row-local flat indices, OOB sentinel for pads;
+                       M == T * tokens_per_image
+    """
+    input_ids = batch["input_ids"]
+    b, s = input_ids.shape
+    embeds = qwen2.embed_tokens(params["llm"], cfg.llm, input_ids)
+
+    pixels = batch.get("pixel_values")
+    if pixels is not None:
+        bt = pixels.shape[0] * pixels.shape[1]
+        feats = encode_images(
+            params, cfg, pixels.reshape((bt,) + pixels.shape[2:])
+        )
+        feats = feats.reshape(b, -1, feats.shape[-1])  # (B, M, D)
+        mp = batch["media_positions"]
+        # Row-local -> global flat indices; OOB sentinels stay OOB.
+        offsets = (jnp.arange(b, dtype=mp.dtype) * s)[:, None]
+        global_pos = jnp.where(mp < s, mp + offsets, jnp.asarray(1 << 30, mp.dtype))
+        embeds = splice_media(
+            embeds, feats.reshape(-1, feats.shape[-1]), global_pos.reshape(-1)
+        )
+
+    logits, _ = qwen2.forward(
+        params["llm"],
+        cfg.llm,
+        inputs_embeds=embeds,
+        positions=batch.get("positions"),
+        segment_ids=batch.get("segment_ids"),
+        attn_impl=attn_impl,
+    )
+    return logits
