@@ -352,6 +352,17 @@ class GenerationEngine:
         inputs: Dict[str, Any],
         generation_config: Optional[GenerationConfig] = None,
     ) -> List[int]:
+        out: List[int] = []
+        for chunk in self.stream_ids(inputs, generation_config):
+            out.extend(chunk)
+        return out
+
+    def stream_ids(
+        self,
+        inputs: Dict[str, Any],
+        generation_config: Optional[GenerationConfig] = None,
+    ):
+        """Yield lists of token ids as they decode (chunk granularity)."""
         gc = generation_config or GenerationConfig()
         stop_ids = set(gc.stop_token_ids or self.stop_token_ids)
         cfg = self.cfg
@@ -389,9 +400,10 @@ class GenerationEngine:
             first_logits, sub, gc.do_sample, gc.temperature, gc.top_p, gc.top_k
         )
 
-        out: List[int] = [int(tok[0])]
-        if out[-1] in stop_ids:
-            return out[:-1]
+        first = int(tok[0])
+        if first in stop_ids:
+            return
+        yield [first]
 
         positions = jnp.asarray([prompt_len], jnp.int32)
         steps_left = gc.max_new_tokens - 1
@@ -402,14 +414,18 @@ class GenerationEngine:
                 steps, gc.do_sample, gc.temperature, gc.top_p, gc.top_k,
             )
             chunk = np.asarray(toks)[0].tolist()
+            accepted = []
             for t in chunk:
                 if t in stop_ids:
-                    return out
-                out.append(t)
+                    if accepted:
+                        yield accepted
+                    return
+                accepted.append(t)
+            if accepted:
+                yield accepted
             steps_left -= steps
-            if int(positions[0]) >= cache.get("k").shape[2]:
-                break
-        return out
+            if int(positions[0]) >= cache["k"].shape[2]:
+                return
 
     def generate_content(
         self,
@@ -420,6 +436,22 @@ class GenerationEngine:
         inputs = self.prepare_inputs(prompt)
         out_ids = self.generate_ids(inputs, generation_config)
         return self.tokenizer.decode(out_ids, skip_special_tokens=True).strip()
+
+    def generate_content_stream(
+        self,
+        prompt: Union[str, List[Any]],
+        generation_config: Optional[GenerationConfig] = None,
+    ):
+        """Streaming variant: yields text deltas (server.py:251-280 parity)."""
+        inputs = self.prepare_inputs(prompt)
+        produced: List[int] = []
+        prev = ""
+        for chunk in self.stream_ids(inputs, generation_config):
+            produced.extend(chunk)
+            text = self.tokenizer.decode(produced, skip_special_tokens=True)
+            if len(text) > len(prev):
+                yield text[len(prev):]
+                prev = text
 
 
 def sample_token(
