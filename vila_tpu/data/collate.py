@@ -35,10 +35,12 @@ class Collator:
     seq_len: int
     pad_token_id: int = 0
     seq_multiple: int = 1  # pad S to a multiple (SP wants sp or 2*sp)
+    tile_size: int = 448  # dummy-tile size when a batch mixes media/no-media
 
     def __call__(self, examples: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]:
         b = len(examples)
         s = _round_up(self.seq_len, self.seq_multiple)
+        any_tiles = any(e["tiles"].shape[0] for e in examples)
         max_tiles = max(max((e["tiles"].shape[0] for e in examples), default=1), 1)
         tile_shape = None
         for e in examples:
@@ -46,7 +48,7 @@ class Collator:
                 tile_shape = e["tiles"].shape[1:]
                 break
         if tile_shape is None:
-            tile_shape = (448, 448, 3)
+            tile_shape = (self.tile_size, self.tile_size, 3)
 
         # tokens contributed per tile (uniform within a batch)
         toks_per_tile = None
@@ -77,6 +79,9 @@ class Collator:
                 mp = e["media_positions"]
                 mp = mp[mp < s]  # truncated media tokens are dropped
                 out["media_positions"][i, : len(mp)] = mp
+        if not any_tiles:
+            # media-free batch: skip the vision forward entirely
+            del out["pixel_values"], out["media_positions"]
         return out
 
 
@@ -92,6 +97,7 @@ class PackingCollator:
     rows: int = 1
     pad_token_id: int = 0
     seq_multiple: int = 1
+    tile_size: int = 448
 
     def __call__(self, examples: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]:
         s = _round_up(self.seq_len, self.seq_multiple)
@@ -116,7 +122,7 @@ class PackingCollator:
             sum(e["tiles"].shape[0] for e in row) for row in rows
         ]
         max_tiles = max(max(tile_counts), 1)
-        tile_shape = (448, 448, 3)
+        tile_shape = (self.tile_size, self.tile_size, 3)
         toks_per_tile = 1
         for row in rows:
             for e in row:
@@ -157,4 +163,6 @@ class PackingCollator:
                     tile_off += t
                     mp_off += len(mp)
                 off += n
+        if not any(tile_counts):
+            del out["pixel_values"], out["media_positions"]
         return out

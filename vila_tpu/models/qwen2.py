@@ -50,6 +50,9 @@ class LLMConfig:
     max_position_embeddings: int = 32768
     dtype: str = "float32"  # compute dtype
     remat: bool = False
+    # COAT-parity FP8 training: decoder matmuls run E4M3 fwd / E5M2 bwd
+    # (llava/model/coat/, llava/model/qlinear_te.py:20). ops/fp8.py.
+    fp8_matmul: bool = False
 
     @property
     def head_dim_(self) -> int:
@@ -159,11 +162,18 @@ def init_cache(
 # --------------------------------------------------------------------------
 
 
-def _linear(x, p, dtype):
+def _linear(x, p, dtype, fp8: bool = False):
     if "packed" in p:  # W4A16/W8A16 slot (ops/quant.py)
         from vila_tpu.ops.quant import quantized_linear
 
         return quantized_linear(x, p, dtype)
+    if fp8:  # COAT-style FP8 training path (ops/fp8.py)
+        from vila_tpu.ops.fp8 import fp8_linear
+
+        y = fp8_linear(x, p["kernel"].astype(dtype))
+        if "bias" in p:
+            y = y + p["bias"].astype(dtype)
+        return y
     y = jnp.dot(x, p["kernel"].astype(dtype))
     if "bias" in p:
         y = y + p["bias"].astype(dtype)
@@ -226,16 +236,18 @@ def forward(
         kv_seg = new_valid.astype(jnp.int32)
         q_seg = jnp.ones((b, s), jnp.int32)
 
+    fp8 = cfg.fp8_matmul
+
     def layer_fn(h, xs):
         lp, ck, cv = xs
         x = rms_norm(h, lp["input_layernorm"]["scale"], cfg.rms_norm_eps)
-        q = _linear(x, lp["q_proj"], dtype).reshape(
+        q = _linear(x, lp["q_proj"], dtype, fp8).reshape(
             b, s, cfg.num_attention_heads, cfg.head_dim_
         )
-        k = _linear(x, lp["k_proj"], dtype).reshape(
+        k = _linear(x, lp["k_proj"], dtype, fp8).reshape(
             b, s, cfg.num_key_value_heads, cfg.head_dim_
         )
-        v = _linear(x, lp["v_proj"], dtype).reshape(
+        v = _linear(x, lp["v_proj"], dtype, fp8).reshape(
             b, s, cfg.num_key_value_heads, cfg.head_dim_
         )
         q = apply_rope(q, cos, sin)
@@ -268,12 +280,12 @@ def forward(
             )
 
         attn = attn.reshape(b, s, cfg.num_attention_heads * cfg.head_dim_)
-        h = h + _linear(attn, lp["o_proj"], dtype)
+        h = h + _linear(attn, lp["o_proj"], dtype, fp8)
 
         x = rms_norm(h, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
-        gate = _linear(x, lp["gate_proj"], dtype)
-        up = _linear(x, lp["up_proj"], dtype)
-        h = h + _linear(jax.nn.silu(gate) * up, lp["down_proj"], dtype)
+        gate = _linear(x, lp["gate_proj"], dtype, fp8)
+        up = _linear(x, lp["up_proj"], dtype, fp8)
+        h = h + _linear(jax.nn.silu(gate) * up, lp["down_proj"], dtype, fp8)
         return h, (ck, cv)
 
     body = layer_fn

@@ -137,8 +137,11 @@ def forward_batch(
     batch: Dict[str, jnp.ndarray],
     *,
     attn_impl: str = "auto",
+    return_hidden: bool = False,
 ) -> jnp.ndarray:
-    """Training forward over a collated batch. Returns logits (B, S, V).
+    """Training forward over a collated batch. Returns logits (B, S, V),
+    or final hidden states (B, S, D) with `return_hidden` (for the chunked
+    cross-entropy path that never materializes full logits).
 
     Batch layout (see vila_tpu.data.collate):
       input_ids:       (B, S) with media placeholders expanded
@@ -167,12 +170,13 @@ def forward_batch(
             embeds, feats.reshape(-1, feats.shape[-1]), global_pos.reshape(-1)
         )
 
-    logits, _ = qwen2.forward(
+    out, _ = qwen2.forward(
         params["llm"],
         cfg.llm,
         inputs_embeds=embeds,
         positions=batch.get("positions"),
         segment_ids=batch.get("segment_ids"),
         attn_impl=attn_impl,
+        return_hidden=return_hidden,
     )
-    return logits
+    return out

@@ -42,6 +42,66 @@ def causal_lm_loss(
     return nll.sum() / n, valid.sum()
 
 
+def chunked_causal_lm_loss(
+    hidden: jnp.ndarray,  # (B, S, D) final hidden states (pre lm_head)
+    llm_params,
+    llm_cfg,
+    labels: jnp.ndarray,  # (B, S) int32 with IGNORE_INDEX masking
+    chunk_size: int = 1024,
+    z_loss: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused chunked cross entropy — the TPU answer to liger's fused CE
+    kernel (llava/model/liger/cross_entropy.py:24).
+
+    The (B, S, V) logits tensor dominates training memory at large vocab
+    (Qwen2: V=152k). Instead of one big projection we scan over sequence
+    chunks; each chunk's `hidden @ lm_head` + CE is wrapped in
+    `jax.checkpoint`, so the backward pass recomputes chunk logits on the
+    fly and peak memory is O(chunk * V) instead of O(S * V). XLA fuses the
+    projection with the logsumexp reduction within a chunk.
+    """
+    from vila_tpu.models import qwen2
+
+    b, s, d = hidden.shape
+    # next-token shift, then flatten tokens
+    h = hidden[:, :-1].reshape(-1, d)
+    t = labels[:, 1:].reshape(-1)
+    n = h.shape[0]
+
+    pad = (-n) % chunk_size
+    if pad:
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        t = jnp.pad(t, (0, pad), constant_values=IGNORE_INDEX)
+    n_chunks = h.shape[0] // chunk_size
+    h = h.reshape(n_chunks, chunk_size, d)
+    t = t.reshape(n_chunks, chunk_size)
+
+    @jax.checkpoint
+    def chunk_nll(hc, tc):
+        logits = qwen2.compute_logits(
+            llm_params, llm_cfg, hc
+        ).astype(jnp.float32)  # (chunk, V)
+        valid = tc != IGNORE_INDEX
+        safe = jnp.where(valid, tc, 0)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        tl = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+        nll = logz - tl
+        if z_loss > 0.0:
+            nll = nll + z_loss * jnp.square(logz)
+        nll = jnp.where(valid, nll, 0.0)
+        return nll.sum(), valid.sum()
+
+    def body(carry, xs):
+        tot, cnt = carry
+        nll, nv = chunk_nll(*xs)
+        return (tot + nll, cnt + nv), None
+
+    (total, count), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)), (h, t)
+    )
+    return total / jnp.maximum(count, 1), count
+
+
 def soft_cross_entropy(
     logits: jnp.ndarray,  # (B, S, V)
     labels: jnp.ndarray,  # (B, S)

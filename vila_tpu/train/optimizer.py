@@ -29,6 +29,7 @@ class OptimizerConfig:
     total_steps: int = 1000
     schedule: str = "cosine"  # cosine | linear | constant
     max_grad_norm: float = 1.0
+    optimizer: str = "adamw"  # adamw | fp8_adamw (COAT-parity fp8 states)
     tune_language_model: bool = True
     tune_vision_tower: bool = True
     tune_mm_projector: bool = True
@@ -54,15 +55,26 @@ def make_schedule(cfg: OptimizerConfig, peak_lr: float):
 
 
 def _adamw(cfg: OptimizerConfig, lr: float):
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
+    if cfg.optimizer == "fp8_adamw":
+        from vila_tpu.train.fp8_adamw import fp8_adamw
+
+        inner = fp8_adamw(
             make_schedule(cfg, lr),
             b1=cfg.b1,
             b2=cfg.b2,
             eps=cfg.eps,
             weight_decay=cfg.weight_decay,
-        ),
+        )
+    else:
+        inner = optax.adamw(
+            make_schedule(cfg, lr),
+            b1=cfg.b1,
+            b2=cfg.b2,
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), inner
     )
 
 

@@ -20,18 +20,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vila_tpu.models import vlm
 from vila_tpu.parallel import mesh as mesh_lib
-from vila_tpu.train.losses import causal_lm_loss
+from vila_tpu.train.losses import causal_lm_loss, chunked_causal_lm_loss
 
 
-def loss_fn(params, cfg, batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    logits = vlm.forward_batch(params, cfg, batch)
-    loss, n_tokens = causal_lm_loss(logits, batch["labels"])
+def loss_fn(
+    params, cfg, batch, ce_chunk_size: Optional[int] = None
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    if ce_chunk_size:
+        # Fused chunked CE: lm_head projection never materializes (B,S,V).
+        hidden = vlm.forward_batch(params, cfg, batch, return_hidden=True)
+        loss, n_tokens = chunked_causal_lm_loss(
+            hidden, params["llm"], cfg.llm,
+            batch["labels"], chunk_size=ce_chunk_size,
+        )
+    else:
+        logits = vlm.forward_batch(params, cfg, batch)
+        loss, n_tokens = causal_lm_loss(logits, batch["labels"])
     return loss, {"loss": loss, "n_tokens": n_tokens}
 
 
-def train_step(params, opt_state, batch, *, cfg, optimizer):
+def train_step(
+    params, opt_state, batch, *, cfg, optimizer, ce_chunk_size=None
+):
     grad_fn = jax.value_and_grad(
-        lambda p: loss_fn(p, cfg, batch), has_aux=True
+        lambda p: loss_fn(p, cfg, batch, ce_chunk_size), has_aux=True
     )
     (loss, metrics), grads = grad_fn(params)
     updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -45,6 +57,7 @@ def make_sharded_train_step(
     params: Dict[str, Any],
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
+    ce_chunk_size: Optional[int] = None,
 ):
     """Returns (step_fn, sharded_params, sharded_opt_state, batch_shardings).
 
@@ -78,7 +91,10 @@ def make_sharded_train_step(
     batch_sh = {k: NamedSharding(mesh, v) for k, v in bspec.items()}
 
     step = jax.jit(
-        functools.partial(train_step, cfg=cfg, optimizer=optimizer),
+        functools.partial(
+            train_step, cfg=cfg, optimizer=optimizer,
+            ce_chunk_size=ce_chunk_size,
+        ),
         donate_argnums=(0, 1),
     )
     return step, params, opt_state, batch_sh

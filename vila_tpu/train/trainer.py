@@ -1,0 +1,201 @@
+"""Training driver: args, loop, logging, checkpoint/resume, preemption.
+
+Capability parity: `train()` (llava/train/train.py:419-922) + `LLaVATrainer`
+(llava/train/llava_trainer.py:590) — tune-flag freezing, per-module LRs,
+LoRA, resume-from-latest, periodic+final checkpointing, walltime-aware save
+(slurm_utils.py:84-111), rank-0 metric logging with a `log_history.json`
+dump (the reference's debug_e2e loss-curve artifact,
+llava_trainer.py:831-856).
+
+TPU-first: one jitted sharded train step (GSPMD mesh = FSDP x SP x TP)
+instead of the HF Trainer + DeepSpeed engine; the data loop is a plain
+host-side iterator feeding device-sharded batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from vila_tpu.models import vlm
+from vila_tpu.parallel import mesh as mesh_lib
+from vila_tpu.train.checkpoint import CheckpointManager, PreemptionGuard
+from vila_tpu.train.optimizer import OptimizerConfig, make_optimizer
+from vila_tpu.train.step import make_sharded_train_step
+
+
+@dataclasses.dataclass
+class TrainArgs:
+    """Condensed equivalent of the reference's Model/Data/TrainingArguments
+    (llava/train/args.py:24,47,221)."""
+
+    output_dir: str = "runs/default"
+    data_mixture: str = "dummy"
+    max_steps: int = 1000
+    per_device_batch_size: int = 1
+    seq_len: int = 4096
+    pack_rows: int = 0  # >0: greedy sample packing into this many rows
+    # parallelism (mesh axes)
+    dp: int = 1
+    sp: int = 1
+    tp: int = 1
+    # optimizer / tuning
+    learning_rate: float = 2e-5
+    mm_projector_lr: Optional[float] = None
+    vision_tower_lr: Optional[float] = None
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03
+    lr_schedule: str = "cosine"
+    max_grad_norm: float = 1.0
+    optimizer: str = "adamw"  # adamw | fp8_adamw
+    tune_language_model: bool = True
+    tune_vision_tower: bool = True
+    tune_mm_projector: bool = True
+    ce_chunk_size: Optional[int] = None  # fused chunked CE
+    # lifecycle
+    logging_steps: int = 10
+    save_steps: int = 500
+    max_ckpts_to_keep: int = 3
+    resume: bool = True
+    total_time_limit_s: Optional[float] = None
+    save_margin_s: float = 300.0
+    seed: int = 0
+
+
+def _batch_iterator(
+    dataset, collator, batch_size: int, seed: int, start_step: int = 0
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Deterministic shuffled epochs; skip-ahead for resume."""
+    n = len(dataset)
+    step = 0
+    epoch = 0
+    while True:
+        order = np.random.default_rng(seed + epoch).permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            if step >= start_step:
+                yield collator([dataset[int(j)] for j in order[i : i + batch_size]])
+            step += 1
+        epoch += 1
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: vlm.VLMConfig,
+        params: Dict[str, Any],
+        dataset,
+        collator,
+        args: TrainArgs,
+    ) -> None:
+        self.cfg = cfg
+        self.args = args
+        self.mesh = mesh_lib.make_mesh(dp=args.dp, sp=args.sp, tp=args.tp)
+        ocfg = OptimizerConfig(
+            learning_rate=args.learning_rate,
+            mm_projector_lr=args.mm_projector_lr,
+            vision_tower_lr=args.vision_tower_lr,
+            weight_decay=args.weight_decay,
+            warmup_ratio=args.warmup_ratio,
+            total_steps=args.max_steps,
+            schedule=args.lr_schedule,
+            max_grad_norm=args.max_grad_norm,
+            optimizer=args.optimizer,
+            tune_language_model=args.tune_language_model,
+            tune_vision_tower=args.tune_vision_tower,
+            tune_mm_projector=args.tune_mm_projector,
+        )
+        optimizer = make_optimizer(ocfg)
+        (
+            self.step_fn,
+            self.params,
+            self.opt_state,
+            self.batch_shardings,
+        ) = make_sharded_train_step(
+            cfg, params, optimizer, self.mesh,
+            ce_chunk_size=args.ce_chunk_size,
+        )
+        self.dataset = dataset
+        self.collator = collator
+        self.ckpt = CheckpointManager(
+            os.path.join(args.output_dir, "checkpoints"),
+            max_to_keep=args.max_ckpts_to_keep,
+        )
+        self.guard = PreemptionGuard(
+            args.total_time_limit_s, args.save_margin_s
+        )
+        self.log_history: list = []
+        self.start_step = 0
+        if args.resume:
+            latest = self.ckpt.latest_step()
+            if latest is not None:
+                state = {"params": self.params, "opt_state": self.opt_state}
+                state = self.ckpt.restore(latest, state)
+                self.params = state["params"]
+                self.opt_state = state["opt_state"]
+                self.start_step = latest
+                print(f"[trainer] resumed from step {latest}", flush=True)
+
+    # ------------------------------------------------------------------
+
+    def _put(self, batch: Dict[str, np.ndarray]):
+        out = {}
+        for k, v in batch.items():
+            sh = self.batch_shardings.get(k)
+            out[k] = jax.device_put(v, sh) if sh is not None else v
+        return out
+
+    def _save(self, step: int):
+        self.ckpt.save(
+            step,
+            {"params": self.params, "opt_state": self.opt_state},
+            metadata={"step": step, "time": time.time()},
+        )
+
+    def train(self) -> Dict[str, Any]:
+        args = self.args
+        it = _batch_iterator(
+            self.dataset, self.collator, args.per_device_batch_size,
+            args.seed, self.start_step,
+        )
+        t0 = time.time()
+        tokens_seen = 0
+        for step in range(self.start_step, args.max_steps):
+            batch = self._put(next(it))
+            self.params, self.opt_state, metrics = self.step_fn(
+                self.params, self.opt_state, batch
+            )
+            if (step + 1) % args.logging_steps == 0 or step == self.start_step:
+                m = {k: float(v) for k, v in metrics.items()}
+                tokens_seen += int(m.get("n_tokens", 0)) * args.logging_steps
+                m.update(step=step + 1, elapsed_s=round(time.time() - t0, 1))
+                self.log_history.append(m)
+                print(f"[trainer] {json.dumps(m)}", flush=True)
+            if (step + 1) % args.save_steps == 0:
+                self._save(step + 1)
+            if self.guard.should_stop(step):
+                # preemption / walltime: save and exit with the retryable
+                # timeout code (reference convention, cli/run.py:117-131)
+                self._save(step + 1)
+                self.ckpt.wait()
+                self._dump_log_history()
+                print("[trainer] preempted; checkpoint saved", flush=True)
+                sys.exit(PreemptionGuard.EXIT_CODE)
+
+        self._save(args.max_steps)
+        self.ckpt.wait()
+        self._dump_log_history()
+        return {"final_step": args.max_steps, "log_history": self.log_history}
+
+    def _dump_log_history(self):
+        os.makedirs(self.args.output_dir, exist_ok=True)
+        with open(
+            os.path.join(self.args.output_dir, "log_history.json"), "w"
+        ) as f:
+            json.dump(self.log_history, f, indent=2)
