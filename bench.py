@@ -47,52 +47,47 @@ def build_8b_quantized(dtype="bfloat16"):
     )
     cfg = vlm.VLMConfig(llm=llm, vision=vis, projector=proj)
 
-    # Synthetic W4 weights built directly in packed form (no bf16
-    # intermediate — the full bf16 model wouldn't fit in 16 GB HBM).
-    rng = np.random.default_rng(0)
+    # Synthetic W4 weights built directly in tiled packed form, generated
+    # ON DEVICE (jax.random) — the full bf16 model wouldn't fit in 16 GB
+    # HBM, and host->TPU transfer of GBs over the dev tunnel is minutes.
+    from vila_tpu.ops.quant import pick_bout
+
     L, D, I = llm.num_hidden_layers, llm.hidden_size, llm.intermediate_size
     hd, Hq, Hkv = llm.head_dim_, llm.num_attention_heads, llm.num_key_value_heads
     G = 128
+    key = jax.random.PRNGKey(0)
 
-    def qslot(din, dout, bias=False):
-        packed = jnp.asarray(
-            rng.integers(0, 255, size=(L, din // 2, dout), dtype=np.uint8)
-        )
-        scales = jnp.full((L, din // G, dout), 0.002, jnp.bfloat16)
+    def qslot(din, dout, bias=False, lead=True):
+        bout = pick_bout(din, dout)
+        nj = dout // bout
+        shape = (L,) if lead else ()
+        packed = jax.random.randint(
+            key, shape + (nj, din // 2, bout), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
+        scales = jnp.full(shape + (nj, din // G, bout), 0.002, jnp.bfloat16)
         slot = {"packed": packed, "scales": scales}
         if bias:
-            slot["bias"] = jnp.zeros((L, dout), jnp.bfloat16)
+            slot["bias"] = jnp.zeros(shape + (dout,), jnp.bfloat16)
         return slot
-
-    def head_slot(din, dout):
-        return {
-            "packed": jnp.asarray(
-                rng.integers(0, 255, size=(din // 2, dout), dtype=np.uint8)
-            ),
-            "scales": jnp.full((din // G, dout), 0.002, jnp.bfloat16),
-        }
 
     llm_params = {
         "embed_tokens": {
-            "embedding": jnp.asarray(
-                rng.standard_normal((llm.vocab_size, D)).astype(np.float32)
-                * 0.02,
-                jnp.bfloat16,
+            "embedding": (
+                0.02
+                * jax.random.normal(key, (llm.vocab_size, D), jnp.bfloat16)
             )
         },
         "layers": {
             "input_layernorm": {"scale": jnp.ones((L, D), jnp.bfloat16)},
-            "q_proj": qslot(D, Hq * hd, bias=True),
-            "k_proj": qslot(D, Hkv * hd, bias=True),
-            "v_proj": qslot(D, Hkv * hd, bias=True),
+            # fused projections (quantize_llm_params(fuse=True) layout)
+            "qkv_proj": qslot(D, (Hq + 2 * Hkv) * hd, bias=True),
             "o_proj": qslot(Hq * hd, D),
             "post_attention_layernorm": {"scale": jnp.ones((L, D), jnp.bfloat16)},
-            "gate_proj": qslot(D, I),
-            "up_proj": qslot(D, I),
+            "gate_up_proj": qslot(D, 2 * I),
             "down_proj": qslot(I, D),
         },
         "norm": {"scale": jnp.ones((D,), jnp.bfloat16)},
-        "lm_head": head_slot(D, llm.vocab_size),
+        "lm_head": qslot(D, llm.vocab_size, lead=False),
     }
     params = {
         "llm": llm_params,

@@ -1,0 +1,68 @@
+"""NIAH harness: sharded long-context forward == single-device forward."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from vila_tpu.eval import niah
+from vila_tpu.models import qwen2
+
+
+@pytest.fixture(scope="module")
+def llm():
+    cfg = qwen2.LLMConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        dtype="float32",
+    )
+    params = qwen2.init_params(jax.random.PRNGKey(0), cfg)
+    return params, cfg
+
+
+def test_sharded_forward_matches_single(llm):
+    params, cfg = llm
+    rng = np.random.default_rng(0)
+    embeds = jnp.asarray(rng.normal(size=(1, 64, 32)).astype(np.float32))
+
+    single = niah.forward_embeds_sharded(params, cfg, embeds, niah._DummyMesh())
+
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("sp",))
+    sharded = niah.forward_embeds_sharded(params, cfg, embeds, mesh)
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(sharded), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_run_niah_grid(llm):
+    params, cfg = llm
+    rng = np.random.default_rng(1)
+    haystack = jnp.asarray(rng.normal(size=(256, 32)).astype(np.float32))
+    needle = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+    answers = rng.integers(0, 64, 4).astype(np.int64)
+
+    results = niah.run_niah(
+        params, cfg, haystack, needle, answers,
+        niah.NIAHConfig(context_lengths=(64, 128), depths=(0.0, 0.5)),
+    )
+    assert len(results) == 4
+    for r in results:
+        assert 0.0 <= r["acc"] <= 1.0
+        assert r["context"] in (64, 128)
+
+
+def test_splice_needle_positions(llm):
+    rng = np.random.default_rng(2)
+    hs = jnp.asarray(rng.normal(size=(100, 8)).astype(np.float32))
+    nd = jnp.asarray(rng.normal(size=(10, 8)).astype(np.float32))
+    seq, pos = niah.splice_needle(hs, nd, 0.5)
+    assert seq.shape[0] == 110 and pos == 50
+    np.testing.assert_array_equal(np.asarray(seq[50:60]), np.asarray(nd))

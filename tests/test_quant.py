@@ -1,0 +1,133 @@
+"""W4 quantization kernels (tiled layout): pack/unpack roundtrip, fused
+matmul vs dequantized reference (decode + prefill shapes), fused-projection
+model forward."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vila_tpu.ops import quant
+
+
+def make_qw(rng, din, dout, g=128):
+    w = jnp.asarray(rng.normal(size=(din, dout)).astype(np.float32) * 0.02)
+    return w, quant.quantize_w4(w, group_size=g)
+
+
+def test_quantize_dequantize_roundtrip():
+    rng = np.random.default_rng(0)
+    w, q = make_qw(rng, 512, 256)
+    w_hat = quant.dequantize(q)
+    err = float(jnp.abs(w_hat.astype(jnp.float32) - w).max())
+    amax = float(jnp.abs(w).max())
+    assert err < amax / 6
+
+
+def test_pick_bout_no_padding():
+    assert quant.pick_bout(3584, 18944) in (512, 18944 // 37)
+    # always divides
+    for din, dout in ((3584, 4608), (18944, 3584), (3584, 152064)):
+        b = quant.pick_bout(din, dout)
+        assert dout % b == 0 and b % 128 == 0
+        assert (din // 2) * b <= quant._VMEM_BLOCK_BUDGET
+
+
+@pytest.mark.parametrize("m", [1, 3, 8])
+@pytest.mark.parametrize("digits", [1, 2])
+def test_w4_decode_matmul_matches_dequant(m, digits):
+    rng = np.random.default_rng(1)
+    din, dout = 512, 256
+    w, q = make_qw(rng, din, dout)
+    x = jnp.asarray(rng.normal(size=(m, din)).astype(np.float32))
+    ref = x @ quant.dequantize(q).astype(jnp.float32)
+    got = quant.w4_matmul_decode(
+        x.astype(jnp.bfloat16), q["packed"], q["scales"], act_digits=digits
+    )
+    tol = 0.06 if digits == 1 else 0.03
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref), rtol=tol, atol=tol
+    )
+
+
+@pytest.mark.parametrize("m", [64, 200])
+def test_w4_prefill_matmul_matches_dequant(m):
+    rng = np.random.default_rng(2)
+    din, dout = 512, 256
+    w, q = make_qw(rng, din, dout)
+    x = jnp.asarray(rng.normal(size=(m, din)).astype(np.float32))
+    ref = x @ quant.dequantize(q).astype(jnp.float32)
+    got = quant.w4_matmul_prefill(
+        x.astype(jnp.bfloat16), q["packed"], q["scales"], block_m=64
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref), rtol=0.05, atol=0.05
+    )
+
+
+def test_quantized_linear_dispatch():
+    rng = np.random.default_rng(3)
+    din, dout = 256, 128
+    w, q = make_qw(rng, din, dout)
+    p = {"packed": q["packed"], "scales": q["scales"]}
+    for m in (1, 64):
+        x = jnp.asarray(rng.normal(size=(m, din)).astype(np.float32))
+        ref = x @ quant.dequantize(q).astype(jnp.float32)
+        got = quant.quantized_linear(x, p, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=0.05, atol=0.05
+        )
+
+
+@pytest.mark.parametrize("fuse", [False, True])
+def test_quantize_llm_params_forward(fuse):
+    """End-to-end: a quantized tiny LLM decodes tokens close to bf16,
+    with and without fused qkv/gate_up projections."""
+    from vila_tpu.models import qwen2
+
+    cfg = qwen2.LLMConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        dtype="float32", tie_word_embeddings=True,
+    )
+    params = qwen2.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_llm_params(params, group_size=128, fuse=fuse)
+    if fuse:
+        assert "qkv_proj" in qparams["layers"]
+        assert "gate_up_proj" in qparams["layers"]
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 128, (1, 16)), jnp.int32
+    )
+    ref, _ = qwen2.forward(params, cfg, input_ids=ids)
+    got, _ = qwen2.forward(qparams, cfg, input_ids=ids)
+    agree = np.mean(
+        np.asarray(ref).argmax(-1) == np.asarray(got).argmax(-1)
+    )
+    assert agree > 0.8, agree
+
+
+def test_fused_equals_unfused():
+    from vila_tpu.models import qwen2
+
+    cfg = qwen2.LLMConfig(
+        vocab_size=64, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        dtype="float32",
+    )
+    params = qwen2.init_params(jax.random.PRNGKey(1), cfg)
+    q_f = quant.quantize_llm_params(params, fuse=True)
+    q_u = quant.quantize_llm_params(params, fuse=False)
+    ids = jnp.asarray(
+        np.random.default_rng(1).integers(0, 64, (1, 12)), jnp.int32
+    )
+    a, _ = qwen2.forward(q_f, cfg, input_ids=ids)
+    b, _ = qwen2.forward(q_u, cfg, input_ids=ids)
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-2, rtol=0.05
+    )

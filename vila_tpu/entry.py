@@ -51,7 +51,20 @@ def build_config(
     proj_hf = hf_import.load_hf_config(proj_dir)
 
     llm_cfg = qwen2.LLMConfig.from_hf_config(llm_hf, dtype=dtype)
-    vis_cfg = siglip.SigLIPConfig.from_hf_config(vt_hf, dtype=dtype)
+    vt_type = vt_hf.get("model_type", "siglip_vision_model")
+    if "clip" in vt_type:
+        from vila_tpu.models import vit
+
+        tower_type = "clip"
+        vis_cfg = vit.ViTConfig.from_hf_config(vt_hf, dtype=dtype)
+    elif "intern" in vt_type:
+        from vila_tpu.models import vit
+
+        tower_type = "internvit"
+        vis_cfg = vit.ViTConfig.from_hf_config(vt_hf, dtype=dtype)
+    else:
+        tower_type = "siglip"
+        vis_cfg = siglip.SigLIPConfig.from_hf_config(vt_hf, dtype=dtype)
 
     s2_scales = top.get("s2_scales") or (vis_cfg.image_size,)
     if isinstance(s2_scales, str):
@@ -76,6 +89,7 @@ def build_config(
         llm=llm_cfg,
         vision=vis_cfg,
         projector=proj_cfg,
+        vision_tower_type=tower_type,
         vision_feature_layer=top.get("mm_vision_select_layer", -2),
         vision_select=top.get("mm_vision_select_feature", "cls_patch"),
         image_aspect_ratio=aspect,
@@ -86,6 +100,19 @@ def build_config(
         s2_scales=s2_scales,
         s2_resize_output_to_scale_idx=top.get("s2_resize_output_to_scale_idx", 0),
     )
+
+    # video encoder selection: the reference stores a hydra _target_ dict
+    # (configuration_llava.py:67-68); map it onto our config fields.
+    venc = top.get("video_encoder")
+    if isinstance(venc, dict):
+        target = venc.get("_target_", "")
+        if "TSP" in target:
+            pool_sizes = tuple(
+                tuple(p) for p in venc.get("pool_sizes", [(1, 1, 1)])
+            )
+            cfg = dataclasses_replace(
+                cfg, video_encoder="tsp", tsp_pool_sizes=pool_sizes
+            )
     return dataclasses_replace(cfg, **overrides) if overrides else cfg
 
 
@@ -105,9 +132,13 @@ def load_params(
     vt_sd = hf_import.load_safetensors_dir(os.path.join(model_path, "vision_tower"))
     proj_sd = hf_import.load_safetensors_dir(os.path.join(model_path, "mm_projector"))
 
+    if cfg.vision_tower_type in ("clip", "internvit"):
+        vt_params = hf_import.convert_vit_state_dict(vt_sd, cfg.vision)
+    else:
+        vt_params = hf_import.convert_siglip_state_dict(vt_sd, cfg.vision)
     params = {
         "llm": hf_import.convert_llm_state_dict(llm_sd, cfg.llm),
-        "vision_tower": hf_import.convert_siglip_state_dict(vt_sd, cfg.vision),
+        "vision_tower": vt_params,
         "mm_projector": hf_import.convert_projector_state_dict(proj_sd),
     }
     return jax.tree.map(lambda x: jnp.asarray(x, dtype=param_dtype), params)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import re
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -41,6 +42,9 @@ class GenerationConfig:
     top_k: int = 0  # 0 = disabled
     seed: int = 0
     stop_token_ids: Tuple[int, ...] = ()
+    # structured output (ResponseFormat parity, configuration_llava.py:119):
+    # "json_object" or a JSON-schema dict
+    response_format: Optional[Any] = None
 
 
 def _bucket(n: int, sizes: Sequence[int]) -> int:
@@ -93,15 +97,17 @@ def extract_media(
     conversation: List[Dict[str, Any]],
     num_video_frames: int,
     fps: float = 0.0,
+    group_videos: bool = False,
 ) -> Dict[str, List[Any]]:
     """Flatten prompt parts into text + media lists (utils/media.py:93-130).
 
-    Videos are expanded to `num_video_frames` image markers + PIL frames,
-    exactly like the reference inference path.
+    Videos are expanded to `num_video_frames` image markers + PIL frames
+    (BasicVideoEncoder path), or kept grouped as one `<vila/video>` marker
+    + frame list when `group_videos` (the TSP path pools frames jointly).
     """
     from vila_tpu.utils.media_loader import load_video_frames
 
-    media: Dict[str, List[Any]] = {"image": []}
+    media: Dict[str, List[Any]] = {"image": [], "video": []}
     for message in conversation:
         parts = message["value"]
         if not isinstance(parts, (list, tuple)):
@@ -116,8 +122,12 @@ def extract_media(
                 frames = load_video_frames(
                     part, num_frames=num_video_frames, fps=fps
                 )
-                media["image"].extend(frames)
-                text += MEDIA_TOKENS["image"] * len(frames)
+                if group_videos:
+                    media["video"].append(frames)
+                    text += MEDIA_TOKENS["video"]
+                else:
+                    media["image"].extend(frames)
+                    text += MEDIA_TOKENS["image"] * len(frames)
             else:  # Image / PIL / ndarray
                 media["image"].append(preprocess.load_image(part))
                 text += MEDIA_TOKENS["image"]
@@ -184,6 +194,18 @@ class GenerationEngine:
         return encode_s2
 
     @functools.cached_property
+    def _encode_tsp(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("pool_sizes",))
+        def encode_tsp(params, frames, pool_sizes):
+            from vila_tpu.models.encoders import tsp_encode_video
+
+            return tsp_encode_video(params, cfg, frames, pool_sizes)
+
+        return encode_tsp
+
+    @functools.cached_property
     def _prefill(self):
         cfg = self.cfg
 
@@ -247,67 +269,118 @@ class GenerationEngine:
         """
         cfg = self.cfg
         conversation = [{"from": "human", "value": prompt}]
-        media = extract_media(conversation, cfg.num_video_frames, cfg.fps)
+        group_videos = cfg.video_encoder == "tsp"
+        media = extract_media(
+            conversation, cfg.num_video_frames, cfg.fps,
+            group_videos=group_videos,
+        )
 
         entries: List[Dict[str, Any]] = []
         tokens_per_marker: List[int] = []
         new_text = conversation[0]["value"]
 
-        if media["image"]:
-            is_multi = len(media["image"]) > 1
-            aspect = cfg.image_aspect_ratio
-            # Reference behavior (llava_arch.py:856-880): dynamic tiling only
-            # for the single-image case; multi-image/video uses plain resize
-            # unless video_max_tiles > 1.
-            use_dynamic = aspect in ("dynamic", "dynamic_s2") and not is_multi
-            parts = new_text.split(MEDIA_TOKENS["image"])
-            rebuilt = parts[0]
-            for i, img in enumerate(media["image"]):
-                if use_dynamic and aspect == "dynamic":
-                    tiles, _ = preprocess.process_image(
-                        img,
-                        image_size=cfg.vision.image_size,
-                        image_aspect_ratio="dynamic",
-                        min_tiles=cfg.min_tiles,
-                        max_tiles=cfg.max_tiles,
-                    )
-                    marker = f"{MEDIA_TOKENS['image']}\n" * tiles.shape[0]
-                    tokens_per_marker.extend(
-                        [cfg.tokens_per_image] * tiles.shape[0]
-                    )
-                    entries.append({"kind": "plain", "tiles": tiles})
-                elif use_dynamic and aspect == "dynamic_s2":
-                    from vila_tpu.models import s2 as s2_lib
+        is_multi = len(media["image"]) > 1
+        aspect = cfg.image_aspect_ratio
+        # Reference behavior (llava_arch.py:856-880): dynamic tiling only
+        # for the single-image case; multi-image/video uses plain resize
+        # unless video_max_tiles > 1.
+        use_dynamic = aspect in ("dynamic", "dynamic_s2") and not is_multi
 
-                    tiles, block_size = preprocess.process_image(
-                        img,
-                        image_size=cfg.vision.image_size,
-                        image_aspect_ratio="dynamic_s2",
-                        max_tiles=cfg.max_tiles,
-                        s2_scales=cfg.s2_scales,
-                    )
-                    marker = MEDIA_TOKENS["image"]
-                    tokens_per_marker.append(
-                        s2_lib.tokens_for_block_size(cfg, block_size)
-                    )
-                    entries.append(
-                        {"kind": "s2", "tiles": tiles, "block_size": block_size}
-                    )
+        def process_image(img) -> str:
+            """Appends entry/token-counts; returns replacement marker text."""
+            if use_dynamic and aspect == "dynamic":
+                tiles, _ = preprocess.process_image(
+                    img,
+                    image_size=cfg.vision.image_size,
+                    image_aspect_ratio="dynamic",
+                    min_tiles=cfg.min_tiles,
+                    max_tiles=cfg.max_tiles,
+                )
+                tokens_per_marker.extend(
+                    [cfg.tokens_per_image] * tiles.shape[0]
+                )
+                entries.append({"kind": "plain", "tiles": tiles})
+                return f"{MEDIA_TOKENS['image']}\n" * tiles.shape[0]
+            if use_dynamic and aspect == "dynamic_s2":
+                from vila_tpu.models import s2 as s2_lib
+
+                tiles, block_size = preprocess.process_image(
+                    img,
+                    image_size=cfg.vision.image_size,
+                    image_aspect_ratio="dynamic_s2",
+                    max_tiles=cfg.max_tiles,
+                    s2_scales=cfg.s2_scales,
+                )
+                tokens_per_marker.append(
+                    s2_lib.tokens_for_block_size(cfg, block_size)
+                )
+                entries.append(
+                    {"kind": "s2", "tiles": tiles, "block_size": block_size}
+                )
+                return MEDIA_TOKENS["image"]
+            tiles, _ = preprocess.process_image(
+                img,
+                image_size=cfg.vision.image_size,
+                image_aspect_ratio=(
+                    "resize"
+                    if aspect in ("dynamic", "dynamic_s2", None)
+                    else aspect
+                ),
+            )
+            tokens_per_marker.append(cfg.tokens_per_image)
+            entries.append({"kind": "plain", "tiles": tiles})
+            return MEDIA_TOKENS["image"]
+
+        def process_video(frames) -> str:
+            """TSP path: one entry per video; one image marker per pooled
+            frame block row (end-'\\n' added by marker expansion), matching
+            TSPVideoEncoder's per-pool concat (encoders/video/tsp.py:36-52)."""
+            from vila_tpu.models.encoders import tsp_pool  # noqa: F401
+
+            tiles = np.stack(
+                [
+                    preprocess.process_image(
+                        f, image_size=cfg.vision.image_size,
+                        image_aspect_ratio="resize",
+                    )[0][0]
+                    for f in frames
+                ]
+            )
+            t = tiles.shape[0]
+            nl = int(round(cfg.tokens_per_image ** 0.5))
+            marker = ""
+            for (pt, ph, pw) in cfg.tsp_pool_sizes:
+                rows = t // pt
+                row_tokens = (nl // ph) * (nl // pw)
+                tokens_per_marker.extend([row_tokens] * rows)
+                marker += MEDIA_TOKENS["image"] * rows
+            entries.append(
+                {
+                    "kind": "tsp",
+                    "tiles": tiles,
+                    "pool_sizes": tuple(cfg.tsp_pool_sizes),
+                }
+            )
+            return marker
+
+        if media["image"] or media["video"]:
+            pattern = "|".join(
+                re.escape(t)
+                for t in (MEDIA_TOKENS["image"], MEDIA_TOKENS["video"])
+            )
+            img_iter = iter(media["image"])
+            vid_iter = iter(media["video"])
+            rebuilt = []
+            last = 0
+            for mo in re.finditer(pattern, new_text):
+                rebuilt.append(new_text[last : mo.start()])
+                if mo.group(0) == MEDIA_TOKENS["image"]:
+                    rebuilt.append(process_image(next(img_iter)))
                 else:
-                    tiles, _ = preprocess.process_image(
-                        img,
-                        image_size=cfg.vision.image_size,
-                        image_aspect_ratio=(
-                            "resize"
-                            if aspect in ("dynamic", "dynamic_s2", None)
-                            else aspect
-                        ),
-                    )
-                    marker = MEDIA_TOKENS["image"]
-                    tokens_per_marker.append(cfg.tokens_per_image)
-                    entries.append({"kind": "plain", "tiles": tiles})
-                rebuilt += marker + parts[i + 1]
-            new_text = rebuilt
+                    rebuilt.append(process_video(next(vid_iter)))
+                last = mo.end()
+            rebuilt.append(new_text[last:])
+            new_text = "".join(rebuilt)
 
         conversation[0]["value"] = new_text
         ids = tokenize_conversation(
@@ -337,6 +410,14 @@ class GenerationEngine:
                         self.params,
                         jnp.asarray(e["tiles"]),
                         tuple(e["block_size"]),
+                    )
+                )
+            elif e["kind"] == "tsp":
+                parts.append(
+                    self._encode_tsp(
+                        self.params,
+                        jnp.asarray(e["tiles"]),
+                        e["pool_sizes"],
                     )
                 )
             else:
@@ -394,6 +475,12 @@ class GenerationEngine:
             self.params, jnp.asarray(ids), jnp.asarray(valid),
             media_embeds, jnp.asarray(mp), cache, prompt_last,
         )
+        if gc.response_format is not None:
+            yield from self._constrained_loop(
+                gc, first_logits, cache, prompt_len, stop_ids
+            )
+            return
+
         rng = jax.random.PRNGKey(gc.seed)
         rng, sub = jax.random.split(rng)
         tok = sample_token(
@@ -424,6 +511,56 @@ class GenerationEngine:
             if accepted:
                 yield accepted
             steps_left -= steps
+            if int(positions[0]) >= cache["k"].shape[2]:
+                return
+
+    @functools.cached_property
+    def _decode_one(self):
+        """Single-step decode returning full logits (constrained path)."""
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_one(params, tok, cache, positions):
+            logits, cache = qwen2.forward(
+                params["llm"], cfg.llm,
+                input_ids=tok[:, None],
+                positions=positions[:, None],
+                cache=cache,
+            )
+            return logits[:, 0], cache
+
+        return decode_one
+
+    def _constrained_loop(
+        self, gc, first_logits, cache, prompt_len, stop_ids
+    ):
+        """Host-guided JSON-constrained decode (xgrammar-processor parity,
+        llava_arch.py:802-821): one step at a time, top-K re-ranked by the
+        JSON prefix automaton."""
+        from vila_tpu.inference.constrained import JsonConstrainedSampler
+
+        schema = None
+        rf = gc.response_format
+        if isinstance(rf, dict) and rf.get("type") == "json_schema":
+            schema = rf.get("json_schema", rf.get("schema"))
+        elif isinstance(rf, dict) and "properties" in rf:
+            schema = rf
+        sampler = JsonConstrainedSampler(self.tokenizer, schema)
+
+        logits = np.asarray(first_logits[0], np.float32)
+        positions = jnp.asarray([prompt_len], jnp.int32)
+        for _ in range(gc.max_new_tokens):
+            tid = sampler.pick(logits)
+            if tid is None or tid in stop_ids:
+                return
+            yield [tid]
+            if sampler.done():
+                return
+            out, cache = self._decode_one(
+                self.params, jnp.asarray([tid], jnp.int32), cache, positions
+            )
+            positions = positions + 1
+            logits = np.asarray(out[0], np.float32)
             if int(positions[0]) >= cache["k"].shape[2]:
                 return
 

@@ -237,19 +237,27 @@ def forward(
         q_seg = jnp.ones((b, s), jnp.int32)
 
     fp8 = cfg.fp8_matmul
+    nq = cfg.num_attention_heads * cfg.head_dim_
+    nkv = cfg.num_key_value_heads * cfg.head_dim_
 
     def layer_fn(h, xs):
         lp, ck, cv = xs
         x = rms_norm(h, lp["input_layernorm"]["scale"], cfg.rms_norm_eps)
-        q = _linear(x, lp["q_proj"], dtype, fp8).reshape(
-            b, s, cfg.num_attention_heads, cfg.head_dim_
-        )
-        k = _linear(x, lp["k_proj"], dtype, fp8).reshape(
-            b, s, cfg.num_key_value_heads, cfg.head_dim_
-        )
-        v = _linear(x, lp["v_proj"], dtype, fp8).reshape(
-            b, s, cfg.num_key_value_heads, cfg.head_dim_
-        )
+        if "qkv_proj" in lp:
+            # fused projection (quantized decode path): one wide matmul
+            qkv = _linear(x, lp["qkv_proj"], dtype, fp8)
+            q, k, v = (
+                qkv[..., :nq],
+                qkv[..., nq : nq + nkv],
+                qkv[..., nq + nkv :],
+            )
+        else:
+            q = _linear(x, lp["q_proj"], dtype, fp8)
+            k = _linear(x, lp["k_proj"], dtype, fp8)
+            v = _linear(x, lp["v_proj"], dtype, fp8)
+        q = q.reshape(b, s, cfg.num_attention_heads, cfg.head_dim_)
+        k = k.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim_)
+        v = v.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim_)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -283,8 +291,12 @@ def forward(
         h = h + _linear(attn, lp["o_proj"], dtype, fp8)
 
         x = rms_norm(h, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
-        gate = _linear(x, lp["gate_proj"], dtype, fp8)
-        up = _linear(x, lp["up_proj"], dtype, fp8)
+        if "gate_up_proj" in lp:
+            gu = _linear(x, lp["gate_up_proj"], dtype, fp8)
+            gate, up = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size :]
+        else:
+            gate = _linear(x, lp["gate_proj"], dtype, fp8)
+            up = _linear(x, lp["up_proj"], dtype, fp8)
         h = h + _linear(jax.nn.silu(gate) * up, lp["down_proj"], dtype, fp8)
         return h, (ck, cv)
 

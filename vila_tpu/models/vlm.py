@@ -30,13 +30,20 @@ Params = Dict[str, Any]
 @dataclasses.dataclass(frozen=True)
 class VLMConfig:
     llm: qwen2.LLMConfig
-    vision: siglip.SigLIPConfig
+    vision: Any  # SigLIPConfig | vit.ViTConfig (see vision_tower_type)
     projector: projector_lib.ProjectorConfig
+    # tower dispatch (build_vision_tower, multimodal_encoder/builder.py:30):
+    # "siglip" (default) | "clip" | "internvit"
+    vision_tower_type: str = "siglip"
     vision_feature_layer: int = -2
     vision_select: str = "cls_patch"
     image_aspect_ratio: str = "resize"  # resize | pad | crop | dynamic | dynamic_s2
     num_video_frames: int = 8
     fps: float = 0.0
+    # video token assembly (llava/model/encoders/video/): "basic" flattens
+    # frames; "tsp" temporal-spatial mean-pools (encoders.py)
+    video_encoder: str = "basic"
+    tsp_pool_sizes: Tuple[Tuple[int, int, int], ...] = ((1, 1, 1),)
     # dynamic tiling params (mm_utils.py:299-405)
     min_tiles: int = 1
     max_tiles: int = 12
@@ -55,11 +62,22 @@ class VLMConfig:
         return ((side + r - 1) // r) ** 2
 
 
+def vision_module(cfg: VLMConfig):
+    """Tower dispatch (multimodal_encoder/builder.py:30-68)."""
+    if cfg.vision_tower_type in ("clip", "internvit"):
+        from vila_tpu.models import vit
+
+        return vit
+    return siglip
+
+
 def init_params(rng: jax.Array, cfg: VLMConfig, param_dtype=jnp.float32) -> Params:
     r1, r2, r3 = jax.random.split(rng, 3)
     return {
         "llm": qwen2.init_params(r1, cfg.llm, param_dtype),
-        "vision_tower": siglip.init_params(r2, cfg.vision, param_dtype),
+        "vision_tower": vision_module(cfg).init_params(
+            r2, cfg.vision, param_dtype
+        ),
         "mm_projector": projector_lib.init_params(r3, cfg.projector, param_dtype),
     }
 
@@ -72,7 +90,7 @@ def encode_images(
     Mirrors `encode_images` (llava_arch.py:366) for the non-S2 path; the
     dynamic-S2 path lives in vila_tpu.models.s2.
     """
-    feats = siglip.forward(
+    feats = vision_module(cfg).forward(
         params["vision_tower"],
         cfg.vision,
         pixel_values,

@@ -178,6 +178,144 @@ def convert_siglip_state_dict(state: Dict[str, Any], cfg) -> Dict[str, Any]:
 
 
 # --------------------------------------------------------------------------
+# CLIP / InternViT vision towers
+# --------------------------------------------------------------------------
+
+
+def convert_vit_state_dict(state: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """HF `CLIPVisionModel` or InternViT state dict → vila_tpu.models.vit
+    pytree (llava/model/multimodal_encoder/{clip,intern}_encoder.py)."""
+    sd = {k.removeprefix("vision_model."): _np(v) for k, v in state.items()}
+    L = cfg.num_hidden_layers
+
+    def stack(fmt: str, transpose: bool = False):
+        mats = [sd[fmt.format(i)] for i in range(L)]
+        return np.stack([m.T if transpose else m for m in mats])
+
+    if "embeddings.patch_embedding.weight" in sd:  # CLIP layout
+        conv_w = sd["embeddings.patch_embedding.weight"]
+        d = conv_w.shape[0]
+        patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, d)
+        layers = {
+            "layer_norm1": {
+                "scale": stack("encoder.layers.{}.layer_norm1.weight"),
+                "bias": stack("encoder.layers.{}.layer_norm1.bias"),
+            },
+            "q_proj": {
+                "kernel": stack("encoder.layers.{}.self_attn.q_proj.weight", True),
+                "bias": stack("encoder.layers.{}.self_attn.q_proj.bias"),
+            },
+            "k_proj": {
+                "kernel": stack("encoder.layers.{}.self_attn.k_proj.weight", True),
+                "bias": stack("encoder.layers.{}.self_attn.k_proj.bias"),
+            },
+            "v_proj": {
+                "kernel": stack("encoder.layers.{}.self_attn.v_proj.weight", True),
+                "bias": stack("encoder.layers.{}.self_attn.v_proj.bias"),
+            },
+            "out_proj": {
+                "kernel": stack("encoder.layers.{}.self_attn.out_proj.weight", True),
+                "bias": stack("encoder.layers.{}.self_attn.out_proj.bias"),
+            },
+            "layer_norm2": {
+                "scale": stack("encoder.layers.{}.layer_norm2.weight"),
+                "bias": stack("encoder.layers.{}.layer_norm2.bias"),
+            },
+            "fc1": {
+                "kernel": stack("encoder.layers.{}.mlp.fc1.weight", True),
+                "bias": stack("encoder.layers.{}.mlp.fc1.bias"),
+            },
+            "fc2": {
+                "kernel": stack("encoder.layers.{}.mlp.fc2.weight", True),
+                "bias": stack("encoder.layers.{}.mlp.fc2.bias"),
+            },
+        }
+        params = {
+            "patch_embedding": {"kernel": patch_kernel},
+            "position_embedding": {
+                "embedding": sd["embeddings.position_embedding.weight"]
+            },
+            "class_embedding": sd["embeddings.class_embedding"].reshape(-1),
+            "layers": layers,
+            "post_layernorm": {
+                "scale": sd["post_layernorm.weight"],
+                "bias": sd["post_layernorm.bias"],
+            },
+        }
+        if "pre_layrnorm.weight" in sd:  # HF's misspelled CLIP pre-LN
+            params["pre_layernorm"] = {
+                "scale": sd["pre_layrnorm.weight"],
+                "bias": sd["pre_layrnorm.bias"],
+            }
+        return params
+
+    # InternViT layout: fused qkv, layer-scale, norm1/norm2
+    conv_w = sd["embeddings.patch_embedding.weight"] if (
+        "embeddings.patch_embedding.weight" in sd
+    ) else sd["patch_embed.proj.weight"]
+    d = conv_w.shape[0]
+    patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, d)
+
+    def stack_qkv(part: str):
+        outs = []
+        for i in range(L):
+            qkv = sd[f"encoder.layers.{i}.attn.qkv.weight"]
+            q, k, v = np.split(qkv, 3, axis=0)
+            outs.append({"q": q, "k": k, "v": v}[part].T)
+        return np.stack(outs)
+
+    def stack_qkv_bias(part: str):
+        outs = []
+        for i in range(L):
+            qkv = sd[f"encoder.layers.{i}.attn.qkv.bias"]
+            q, k, v = np.split(qkv, 3, axis=0)
+            outs.append({"q": q, "k": k, "v": v}[part])
+        return np.stack(outs)
+
+    layers = {
+        "layer_norm1": {
+            "scale": stack("encoder.layers.{}.norm1.weight"),
+            "bias": stack("encoder.layers.{}.norm1.bias"),
+        },
+        "q_proj": {"kernel": stack_qkv("q"), "bias": stack_qkv_bias("q")},
+        "k_proj": {"kernel": stack_qkv("k"), "bias": stack_qkv_bias("k")},
+        "v_proj": {"kernel": stack_qkv("v"), "bias": stack_qkv_bias("v")},
+        "out_proj": {
+            "kernel": stack("encoder.layers.{}.attn.proj.weight", True),
+            "bias": stack("encoder.layers.{}.attn.proj.bias"),
+        },
+        "layer_norm2": {
+            "scale": stack("encoder.layers.{}.norm2.weight"),
+            "bias": stack("encoder.layers.{}.norm2.bias"),
+        },
+        "fc1": {
+            "kernel": stack("encoder.layers.{}.mlp.fc1.weight", True),
+            "bias": stack("encoder.layers.{}.mlp.fc1.bias"),
+        },
+        "fc2": {
+            "kernel": stack("encoder.layers.{}.mlp.fc2.weight", True),
+            "bias": stack("encoder.layers.{}.mlp.fc2.bias"),
+        },
+        "ls1": {"scale": stack("encoder.layers.{}.ls1")},
+        "ls2": {"scale": stack("encoder.layers.{}.ls2")},
+    }
+    return {
+        "patch_embedding": {"kernel": patch_kernel},
+        "position_embedding": {
+            "embedding": sd["embeddings.position_embedding"].reshape(
+                -1, d
+            )
+        },
+        "class_embedding": sd["embeddings.class_embedding"].reshape(-1),
+        "layers": layers,
+        "post_layernorm": {
+            "scale": np.ones((d,), np.float32),
+            "bias": np.zeros((d,), np.float32),
+        },
+    }
+
+
+# --------------------------------------------------------------------------
 # Multimodal projector
 # --------------------------------------------------------------------------
 
