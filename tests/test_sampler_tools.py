@@ -1,0 +1,78 @@
+"""Distributed sampler invariants + weight tools."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from vila_tpu.data.sampler import DistributedSampler
+from vila_tpu.utils.weights_tools import apply_delta, make_delta
+
+
+def test_sampler_partitions_disjoint_and_complete():
+    lengths = [100, 64]
+    world, bs = 4, 2
+    all_idx = []
+    for rank in range(world):
+        s = DistributedSampler(
+            lengths, rank=rank, world_size=world, batch_size=bs, seed=1
+        )
+        idx = list(s)
+        assert len(idx) == len(s)
+        all_idx.append(set(idx))
+    # disjoint across replicas
+    for i in range(world):
+        for j in range(i + 1, world):
+            assert not (all_idx[i] & all_idx[j])
+    # per-dataset drop-last: each dataset contributes a multiple of
+    # world*bs in total
+    total = sum(len(s) for s in all_idx)
+    assert total == (100 // 8) * 8 + (64 // 8) * 8
+
+
+def test_sampler_sp_groups_identical():
+    lengths = [48]
+    # world=4, sp=2 -> 2 DP replicas; ranks (0,1) and (2,3) pair up
+    samples = [
+        list(
+            DistributedSampler(
+                lengths, rank=r, world_size=4, sp_degree=2, seed=3
+            )
+        )
+        for r in range(4)
+    ]
+    assert samples[0] == samples[1]
+    assert samples[2] == samples[3]
+    assert set(samples[0]).isdisjoint(samples[2])
+
+
+def test_sampler_epoch_changes_order():
+    s = DistributedSampler([64], rank=0, world_size=1, seed=0)
+    a = list(s)
+    s.set_epoch(1)
+    b = list(s)
+    assert a != b and sorted(a) == sorted(b)
+
+
+def test_batch_shuffle_keeps_batches_contiguous():
+    s = DistributedSampler(
+        [32], rank=0, world_size=1, batch_size=4, seed=0,
+        shuffle=False, batch_shuffle=True,
+    )
+    idx = list(s)
+    batches = [tuple(idx[i : i + 4]) for i in range(0, len(idx), 4)]
+    for b in batches:
+        assert list(b) == list(range(b[0], b[0] + 4))
+
+
+def test_delta_roundtrip():
+    base = {"a": np.ones((3,), np.float32), "b": {"c": np.zeros((2,))}}
+    target = {"a": np.full((3,), 2.5, np.float32), "b": {"c": np.ones((2,))}}
+    delta = make_delta(base, target)
+    back = apply_delta(base, delta)
+    np.testing.assert_allclose(back["a"], target["a"])
+    np.testing.assert_allclose(back["b"]["c"], target["b"]["c"])

@@ -180,6 +180,20 @@ def _linear(x, p, dtype, fp8: bool = False):
     return y
 
 
+def w4_matmul_stacked_dispatch(x2, packed, scales, layer_index):
+    """Stacked quantized matmul: decode kernel for tiny m; prefill falls
+    back to slicing one layer (copy cost amortizes over many rows)."""
+    from vila_tpu.ops.quant import w4_matmul_decode, w4_matmul_prefill
+
+    if x2.shape[0] <= 32:
+        return w4_matmul_decode(x2, packed, scales, layer_index=layer_index)
+    return w4_matmul_prefill(
+        x2,
+        jax.lax.dynamic_index_in_dim(packed, layer_index, 0, keepdims=False),
+        jax.lax.dynamic_index_in_dim(scales, layer_index, 0, keepdims=False),
+    )
+
+
 def forward(
     params: Params,
     cfg: LLMConfig,
@@ -240,21 +254,64 @@ def forward(
     nq = cfg.num_attention_heads * cfg.head_dim_
     nkv = cfg.num_key_value_heads * cfg.head_dim_
 
+    # Stacked-quantized weights (L, nj, half, bout) must NOT be sliced by
+    # lax.scan — the per-layer slice materializes a copy and halves HBM
+    # bandwidth. They stay whole; the kernel selects the layer via a
+    # scalar-prefetch index (ops/quant.py w4_matmul_decode stacked form).
+    all_layers = params["layers"]
+    q_stacked = {
+        name: slot
+        for name, slot in all_layers.items()
+        if isinstance(slot, dict)
+        and "packed" in slot
+        and slot["packed"].ndim == 4
+    }
+    sliced_layers = {
+        name: (
+            {k: v for k, v in slot.items() if k not in ("packed", "scales")}
+            if name in q_stacked
+            else slot
+        )
+        for name, slot in all_layers.items()
+    }
+
+    def _qlinear_stacked(x2, name, lp, l):
+        from vila_tpu.ops.quant import w4_matmul
+
+        slot = q_stacked[name]
+        lead = x2.shape[:-1]
+        m = 1
+        for v in lead:
+            m *= v
+        y = w4_matmul_stacked_dispatch(
+            x2.reshape(m, x2.shape[-1]).astype(jnp.bfloat16),
+            slot["packed"], slot["scales"], l,
+        ).astype(dtype)
+        y = y.reshape(*lead, y.shape[-1])
+        if "bias" in lp[name]:
+            y = y + lp[name]["bias"].astype(dtype)
+        return y
+
+    def lin(x, name, lp, l):
+        if name in q_stacked:
+            return _qlinear_stacked(x, name, lp, l)
+        return _linear(x, lp[name], dtype, fp8)
+
     def layer_fn(h, xs):
-        lp, ck, cv = xs
+        l, lp, ck, cv = xs
         x = rms_norm(h, lp["input_layernorm"]["scale"], cfg.rms_norm_eps)
         if "qkv_proj" in lp:
             # fused projection (quantized decode path): one wide matmul
-            qkv = _linear(x, lp["qkv_proj"], dtype, fp8)
+            qkv = lin(x, "qkv_proj", lp, l)
             q, k, v = (
                 qkv[..., :nq],
                 qkv[..., nq : nq + nkv],
                 qkv[..., nq + nkv :],
             )
         else:
-            q = _linear(x, lp["q_proj"], dtype, fp8)
-            k = _linear(x, lp["k_proj"], dtype, fp8)
-            v = _linear(x, lp["v_proj"], dtype, fp8)
+            q = lin(x, "q_proj", lp, l)
+            k = lin(x, "k_proj", lp, l)
+            v = lin(x, "v_proj", lp, l)
         q = q.reshape(b, s, cfg.num_attention_heads, cfg.head_dim_)
         k = k.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim_)
         v = v.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim_)
@@ -288,16 +345,16 @@ def forward(
             )
 
         attn = attn.reshape(b, s, cfg.num_attention_heads * cfg.head_dim_)
-        h = h + _linear(attn, lp["o_proj"], dtype, fp8)
+        h = h + lin(attn, "o_proj", lp, l)
 
         x = rms_norm(h, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
         if "gate_up_proj" in lp:
-            gu = _linear(x, lp["gate_up_proj"], dtype, fp8)
+            gu = lin(x, "gate_up_proj", lp, l)
             gate, up = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size :]
         else:
-            gate = _linear(x, lp["gate_proj"], dtype, fp8)
-            up = _linear(x, lp["up_proj"], dtype, fp8)
-        h = h + _linear(jax.nn.silu(gate) * up, lp["down_proj"], dtype, fp8)
+            gate = lin(x, "gate_proj", lp, l)
+            up = lin(x, "up_proj", lp, l)
+        h = h + lin(jax.nn.silu(gate) * up, "down_proj", lp, l)
         return h, (ck, cv)
 
     body = layer_fn
@@ -306,12 +363,13 @@ def forward(
             layer_fn, policy=jax.checkpoint_policies.nothing_saveable
         )
 
+    L = cfg.num_hidden_layers
+    layer_ids = jnp.arange(L, dtype=jnp.int32)
     if cache is not None:
-        xs = (params["layers"], cache["k"], cache["v"])
+        xs = (layer_ids, sliced_layers, cache["k"], cache["v"])
     else:
-        L = cfg.num_hidden_layers
         dummy = jnp.zeros((L, 0), dtype)
-        xs = (params["layers"], dummy, dummy)
+        xs = (layer_ids, sliced_layers, dummy, dummy)
 
     h, (new_k, new_v) = jax.lax.scan(body, h, xs)
 

@@ -247,10 +247,16 @@ def _w4_decode_kernel(
 @functools.partial(jax.jit, static_argnames=("act_digits",))
 def w4_matmul_decode(
     x: jnp.ndarray,  # (M<=32, din) bf16
-    packed: jnp.ndarray,  # (nj, din/2, bout) uint8
-    scales: jnp.ndarray,  # (nj, 2*ngh, bout) bf16
+    packed: jnp.ndarray,  # (nj, din/2, bout) uint8 or (L, nj, ...) stacked
+    scales: jnp.ndarray,  # (nj, 2*ngh, bout) bf16 or (L, nj, ...) stacked
     act_digits: int = 2,
+    layer_index: Optional[jnp.ndarray] = None,  # () int32 for stacked
 ) -> jnp.ndarray:
+    """Stacked form: when called inside a scan over layers, pass the FULL
+    (L, nj, half, bout) arrays plus the layer index — the kernel DMAs its
+    blocks straight out of the stacked array (scalar-prefetch index map),
+    so no per-layer weight copy is ever materialized. A lax.scan slice of
+    the weights would silently halve effective HBM bandwidth."""
     m, din = x.shape
     half, bout, nj, ngh, group_size, din_w, dout = _tiled_meta(packed, scales)
     assert din == din_w, (din, din_w)
@@ -259,13 +265,77 @@ def w4_matmul_decode(
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
 
+    kernel = functools.partial(
+        _w4_decode_kernel,
+        group_size=group_size,
+        n_groups=ngh,
+        act_digits=act_digits,
+    )
+    stacked = packed.ndim == 4
+    if stacked:
+        assert layer_index is not None
+
+        def wrapped(l_ref, x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref, o_ref):
+            # 4D refs indexed in place (sub-ref slicing of the non-8-aligned
+            # group dim trips Mosaic tiling)
+            bm_ = x_lo_ref.shape[0]
+            bout_ = o_ref.shape[1]
+            acc = jnp.zeros((bm_, bout_), jnp.float32)
+            for g in range(ngh):
+                sl = slice(g * group_size, (g + 1) * group_size)
+                lo, h16 = _unpack_planes(p_ref[0, 0, sl, :])
+                s_l = s_lo_ref[0, 0, g, :].astype(jnp.float32)[None, :]
+                s_h = s_hi_ref[0, 0, g, :].astype(jnp.float32)[None, :] / 16.0
+                for q, sx in _int8_digits(
+                    x_lo_ref[:, sl].astype(jnp.float32), act_digits
+                ):
+                    c = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
+                    acc += (_d8(q, lo) - 8.0 * c) * (sx * s_l)
+                for q, sx in _int8_digits(
+                    x_hi_ref[:, sl].astype(jnp.float32), act_digits
+                ):
+                    acc += _d8(q, h16) * (sx * s_h)
+            o_ref[:] = acc.astype(o_ref.dtype)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(x.shape[0] // bm, nj),
+            in_specs=[
+                pl.BlockSpec((bm, half), lambda i, j, l: (i, 0)),
+                pl.BlockSpec((bm, half), lambda i, j, l: (i, 0)),
+                pl.BlockSpec(
+                    (1, 1, half, bout), lambda i, j, l: (l[0], j, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, ngh, bout), lambda i, j, l: (l[0], j, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, ngh, bout), lambda i, j, l: (l[0], j, 1, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec((bm, bout), lambda i, j, l: (i, j)),
+        )
+        ngh_s = scales.shape[-2] // 2
+        out = pl.pallas_call(
+            wrapped,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((x.shape[0], dout), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=_interpret(),
+        )(
+            jnp.asarray(layer_index, jnp.int32).reshape(1),
+            x[:, :half],
+            x[:, half:],
+            packed,
+            scales[:, :, :ngh_s, :],
+            scales[:, :, ngh_s:, :],
+        )
+        return out[:m]
+
     out = pl.pallas_call(
-        functools.partial(
-            _w4_decode_kernel,
-            group_size=group_size,
-            n_groups=ngh,
-            act_digits=act_digits,
-        ),
+        kernel,
         grid=(x.shape[0] // bm, nj),
         in_specs=[
             pl.BlockSpec((bm, half), lambda i, j: (i, 0)),

@@ -62,6 +62,11 @@ class TrainArgs:
     # lifecycle
     logging_steps: int = 10
     save_steps: int = 500
+    # observability: capture a jax.profiler trace for steps
+    # [profile_step, profile_step + profile_num_steps)
+    profile_step: int = -1
+    profile_num_steps: int = 3
+    wandb_project: str = ""
     max_ckpts_to_keep: int = 3
     resume: bool = True
     total_time_limit_s: Optional[float] = None
@@ -159,23 +164,42 @@ class Trainer:
         )
 
     def train(self) -> Dict[str, Any]:
+        from vila_tpu.utils.profiling import MetricsLogger, trace
+
         args = self.args
         it = _batch_iterator(
             self.dataset, self.collator, args.per_device_batch_size,
             args.seed, self.start_step,
         )
+        mlog = MetricsLogger(
+            args.output_dir, project=args.wandb_project or None
+        )
         t0 = time.time()
         tokens_seen = 0
+        profiling = None
         for step in range(self.start_step, args.max_steps):
+            if step == args.profile_step:
+                profiling = trace(os.path.join(args.output_dir, "xplane"))
+                profiling.__enter__()
             batch = self._put(next(it))
             self.params, self.opt_state, metrics = self.step_fn(
                 self.params, self.opt_state, batch
             )
+            if (
+                profiling is not None
+                and step == args.profile_step + args.profile_num_steps - 1
+            ):
+                jax.tree.map(
+                    lambda x: x.block_until_ready(), metrics
+                )
+                profiling.__exit__(None, None, None)
+                profiling = None
             if (step + 1) % args.logging_steps == 0 or step == self.start_step:
                 m = {k: float(v) for k, v in metrics.items()}
                 tokens_seen += int(m.get("n_tokens", 0)) * args.logging_steps
                 m.update(step=step + 1, elapsed_s=round(time.time() - t0, 1))
                 self.log_history.append(m)
+                mlog.log(m, step=step + 1)
                 print(f"[trainer] {json.dumps(m)}", flush=True)
             if (step + 1) % args.save_steps == 0:
                 self._save(step + 1)

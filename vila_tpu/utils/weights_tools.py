@@ -1,0 +1,80 @@
+"""Checkpoint weight utilities: deltas, consolidation, LoRA merge-and-save.
+
+Capability parity: `llava/model/apply_delta.py` / `make_delta.py` (weight
+deltas vs a base model), `llava/model/consolidate.py` (merge sharded
+checkpoints), and `llava/utils/merge_lora_weights_and_save_hf_model.py`.
+
+All operate on vila_tpu pytrees (numpy/jax leaves) or on safetensors files
+in the component checkpoint layout.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_delta(base: Dict[str, Any], target: Dict[str, Any]) -> Dict[str, Any]:
+    """delta = target - base, leafwise (make_delta.py behavior)."""
+    return jax.tree.map(
+        lambda t, b: (np.asarray(t, np.float32) - np.asarray(b, np.float32)),
+        target, base,
+    )
+
+
+def apply_delta(base: Dict[str, Any], delta: Dict[str, Any]) -> Dict[str, Any]:
+    """target = base + delta (apply_delta.py behavior)."""
+    return jax.tree.map(
+        lambda b, d: (np.asarray(b, np.float32) + np.asarray(d, np.float32)),
+        base, delta,
+    )
+
+
+def consolidate_checkpoints(ckpt_dirs, out_dir: str, template: Dict[str, Any]):
+    """Average multiple checkpoints of the same pytree structure into one
+    (consolidate.py's role for our orbax layout is a plain tree-mean)."""
+    from vila_tpu.train.checkpoint import CheckpointManager
+
+    acc = None
+    n = 0
+    for d in ckpt_dirs:
+        mgr = CheckpointManager(d, async_save=False)
+        step, state = mgr.restore_latest(template)
+        mgr.close()
+        if step is None:
+            continue
+        n += 1
+        if acc is None:
+            acc = jax.tree.map(lambda x: np.asarray(x, np.float32), state)
+        else:
+            acc = jax.tree.map(
+                lambda a, x: a + np.asarray(x, np.float32), acc, state
+            )
+    assert acc is not None and n > 0, "no checkpoints found"
+    mean = jax.tree.map(lambda a: a / n, acc)
+    out = CheckpointManager(out_dir, async_save=False)
+    out.save(0, mean)
+    out.wait()
+    out.close()
+    return mean
+
+
+def merge_lora_and_save(
+    model_path: str, lora_state: Dict[str, Any], lora_cfg, out_dir: str
+):
+    """Load a component checkpoint, merge LoRA factors into the base
+    weights, and save back in the component layout
+    (merge_lora_weights_and_save_hf_model.py parity)."""
+    from vila_tpu import entry
+    from vila_tpu.train import lora as lora_lib
+
+    cfg = entry.build_config(model_path, dtype="float32")
+    params = entry.load_params(model_path, cfg)
+    tokenizer = entry.load_tokenizer(model_path)
+    merged = lora_lib.merge_lora(params, lora_state, lora_cfg)
+    entry.save(merged, cfg, tokenizer, out_dir)
+    return out_dir
