@@ -26,8 +26,21 @@ from vila_tpu.utils import io
 
 _REGISTRY_DIR = os.path.join(os.path.dirname(__file__), "registry")
 
+def _lazy(name: str) -> Callable:
+    def ctor(**kw):
+        from vila_tpu.data import interleaved
+
+        return getattr(interleaved, name)(**kw)
+
+    return ctor
+
+
 DATASET_TYPES: Dict[str, Callable] = {
     "supervised": BaseDataset,
+    # pretraining corpus styles (llava/data/dataset.py:553,770,929)
+    "interleaved": _lazy("InterleavedDataset"),
+    "caption_pairs": _lazy("CaptionPairDataset"),
+    "webdataset": _lazy("WebDatasetSupervised"),
 }
 
 DATASETS: Dict[str, Any] = {}

@@ -209,6 +209,37 @@ def _d8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     ).astype(jnp.float32)
 
 
+def _prequantize_plane(x_ref, digits: int, group_size: int, n_groups: int):
+    """Quantize one activation half ONCE per kernel call (not per group).
+
+    Per-ROW int8 digit expansion (x ~= q1*s1 + q2*s2, s scalars per row) —
+    the per-group variant costs 14+ tiny serial VPU reduces that stall the
+    weight-DMA pipeline. The per-group rowsums needed for the lo-plane
+    zero-point correction come from ONE int8 MXU dot against a constant
+    group-indicator matrix instead of per-group VPU sums.
+
+    Returns [(q, s, csum)] per digit: q (bm, half) int8, s (bm, 1) f32,
+    csum (bm, n_groups) f32.
+    """
+    x32 = x_ref[:].astype(jnp.float32)
+    half = x32.shape[1]
+    # group-indicator matrix (half, n_groups) in int8: ones within group
+    rows = jax.lax.broadcasted_iota(jnp.int32, (half, n_groups), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (half, n_groups), 1)
+    gmat = (rows // group_size == cols).astype(jnp.int8)
+
+    a = jnp.max(jnp.abs(x32), axis=1, keepdims=True)
+    s1 = jnp.maximum(a / 127.0, 1e-20)
+    q1 = jnp.clip(jnp.round(x32 / s1), -127, 127).astype(jnp.int8)
+    out = [(q1, s1, _d8(q1, gmat))]
+    if digits == 2:
+        r = x32 - q1.astype(jnp.float32) * s1
+        s2 = s1 / 127.0
+        q2 = jnp.clip(jnp.round(r / s2), -127, 127).astype(jnp.int8)
+        out.append((q2, s2, _d8(q2, gmat)))
+    return out
+
+
 def _w4_decode_kernel(
     x_lo_ref,  # (bm, half) bf16
     x_hi_ref,  # (bm, half) bf16
@@ -224,6 +255,11 @@ def _w4_decode_kernel(
     bm = x_lo_ref.shape[0]
     bout = o_ref.shape[1]
 
+    # Quantize activations once (per-row digits + MXU group-sums), then the
+    # group loop is pure weight-stream work: unpack, two int8 dots, scale.
+    lo_digits = _prequantize_plane(x_lo_ref, act_digits, group_size, n_groups)
+    hi_digits = _prequantize_plane(x_hi_ref, act_digits, group_size, n_groups)
+
     # Static Python unroll: Mosaic needs provably-aligned slice starts, and
     # constant group indices let every scale row load at a known offset.
     acc = jnp.zeros((bm, bout), jnp.float32)
@@ -232,15 +268,10 @@ def _w4_decode_kernel(
         lo, h16 = _unpack_planes(p_ref[0, sl, :])
         s_l = s_lo_ref[0, g, :].astype(jnp.float32)[None, :]
         s_h = s_hi_ref[0, g, :].astype(jnp.float32)[None, :] / 16.0
-        for q, sx in _int8_digits(
-            x_lo_ref[:, sl].astype(jnp.float32), act_digits
-        ):
-            c = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
-            acc += (_d8(q, lo) - 8.0 * c) * (sx * s_l)
-        for q, sx in _int8_digits(
-            x_hi_ref[:, sl].astype(jnp.float32), act_digits
-        ):
-            acc += _d8(q, h16) * (sx * s_h)
+        for q, sx, csum in lo_digits:
+            acc += (_d8(q[:, sl], lo) - 8.0 * csum[:, g : g + 1]) * (sx * s_l)
+        for q, sx, csum in hi_digits:
+            acc += _d8(q[:, sl], h16) * (sx * s_h)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -280,21 +311,24 @@ def w4_matmul_decode(
             # group dim trips Mosaic tiling)
             bm_ = x_lo_ref.shape[0]
             bout_ = o_ref.shape[1]
+            lo_digits = _prequantize_plane(
+                x_lo_ref, act_digits, group_size, ngh
+            )
+            hi_digits = _prequantize_plane(
+                x_hi_ref, act_digits, group_size, ngh
+            )
             acc = jnp.zeros((bm_, bout_), jnp.float32)
             for g in range(ngh):
                 sl = slice(g * group_size, (g + 1) * group_size)
                 lo, h16 = _unpack_planes(p_ref[0, 0, sl, :])
                 s_l = s_lo_ref[0, 0, g, :].astype(jnp.float32)[None, :]
                 s_h = s_hi_ref[0, 0, g, :].astype(jnp.float32)[None, :] / 16.0
-                for q, sx in _int8_digits(
-                    x_lo_ref[:, sl].astype(jnp.float32), act_digits
-                ):
-                    c = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
-                    acc += (_d8(q, lo) - 8.0 * c) * (sx * s_l)
-                for q, sx in _int8_digits(
-                    x_hi_ref[:, sl].astype(jnp.float32), act_digits
-                ):
-                    acc += _d8(q, h16) * (sx * s_h)
+                for q, sx, csum in lo_digits:
+                    acc += (
+                        _d8(q[:, sl], lo) - 8.0 * csum[:, g : g + 1]
+                    ) * (sx * s_l)
+                for q, sx, csum in hi_digits:
+                    acc += _d8(q[:, sl], h16) * (sx * s_h)
             o_ref[:] = acc.astype(o_ref.dtype)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(

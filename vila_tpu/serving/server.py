@@ -81,6 +81,8 @@ def _gen_config(body: Dict[str, Any]) -> GenerationConfig:
         temperature=max(temperature, 1e-4),
         top_p=float(body.get("top_p", 1.0) or 1.0),
         seed=int(body.get("seed") or 0),
+        # OpenAI structured output -> JSON-constrained decoding
+        response_format=body.get("response_format"),
     )
 
 
