@@ -1,0 +1,26 @@
+#!/bin/bash
+# LongVILA stage 4: LLM-only context extension to 64k.
+# Parity: longvila/train/4_extend_llm_64k.sh (rope_theta 15.3e6, LoRA
+# low-rank training on SlimPajama chunks, 40 steps, merge back).
+python - "$@" <<'PY'
+import sys
+import numpy as np
+from vila_tpu import entry
+from vila_tpu.train.context_extend import (
+    ContextExtendArgs, chunk_text_dataset, extend_llm)
+
+model_path, tokens_npy, out_dir = sys.argv[1:4]
+cfg = entry.build_config(model_path)
+params = entry.load_params(model_path, cfg)
+stream = np.load(tokens_npy)
+args = ContextExtendArgs(target_context=65536, rope_theta=15.3e6, steps=40,
+                         seq_len=65536)
+merged, ext_cfg, losses = extend_llm(
+    params["llm"], cfg.llm, chunk_text_dataset(stream, args.seq_len), args)
+params["llm"] = merged
+import dataclasses
+cfg = dataclasses.replace(cfg, llm=ext_cfg)
+tok = entry.load_tokenizer(model_path)
+entry.save(params, cfg, tok, out_dir)
+print("extended ->", out_dir, "losses:", losses[:3], "...", losses[-3:])
+PY

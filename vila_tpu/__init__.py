@@ -9,7 +9,16 @@ TPU-first: functional JAX models, Pallas kernels on the hot paths, and
 
 __version__ = "0.1.0"
 
-from vila_tpu.media import Image, Video  # noqa: F401
+from vila_tpu.media import File, Image, Video  # noqa: F401
+
+
+def save(params, cfg, tokenizer, out_dir):
+    """Save params in the component checkpoint layout (llm/, vision_tower/,
+    mm_projector/) — mirrors `LlavaMetaModel.save_pretrained`
+    (llava/model/llava_arch.py:158-204)."""
+    from vila_tpu.entry import save as _save
+
+    return _save(params, cfg, tokenizer, out_dir)
 
 
 def load(model_path, devices=None, **kwargs):

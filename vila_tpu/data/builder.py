@@ -35,12 +35,20 @@ def _lazy(name: str) -> Callable:
     return ctor
 
 
+def _dummy_ctor(**kw):
+    from vila_tpu.data.dummy import DummyDataset
+
+    return DummyDataset(**kw)
+
+
 DATASET_TYPES: Dict[str, Callable] = {
     "supervised": BaseDataset,
     # pretraining corpus styles (llava/data/dataset.py:553,770,929)
     "interleaved": _lazy("InterleavedDataset"),
     "caption_pairs": _lazy("CaptionPairDataset"),
     "webdataset": _lazy("WebDatasetSupervised"),
+    # synthetic smoke/debug data (llava/data/dataset_impl/dummy.py)
+    "dummy": _dummy_ctor,
 }
 
 DATASETS: Dict[str, Any] = {}

@@ -187,11 +187,7 @@ def w4_matmul_stacked_dispatch(x2, packed, scales, layer_index):
 
     if x2.shape[0] <= 32:
         return w4_matmul_decode(x2, packed, scales, layer_index=layer_index)
-    return w4_matmul_prefill(
-        x2,
-        jax.lax.dynamic_index_in_dim(packed, layer_index, 0, keepdims=False),
-        jax.lax.dynamic_index_in_dim(scales, layer_index, 0, keepdims=False),
-    )
+    return w4_matmul_prefill(x2, packed, scales, layer_index=layer_index)
 
 
 def forward(

@@ -80,13 +80,24 @@ def attention_xla(
     if kv_positions is None:
         kv_positions = jnp.broadcast_to(jnp.arange(skv, dtype=jnp.int32), (b, skv))
 
-    qf = q.astype(jnp.float32) * scale
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    # bf16 inputs (decode hot path): keep K/V in bf16 and let the MXU
+    # accumulate in f32 — casting the KV cache to f32 would triple HBM
+    # traffic (bf16 read + f32 write + f32 read). f32 inputs keep exact
+    # f32 math for parity tests.
+    low_prec = q.dtype == jnp.bfloat16
+    if low_prec:
+        qf = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        kf, vf = k, v
+    else:
+        qf = q.astype(jnp.float32) * scale
+        kf = k.astype(jnp.float32)
+        vf = v.astype(jnp.float32)
 
     # (B, Sq, Hkv, G, D) x (B, Skv, Hkv, D) -> (B, Hkv, G, Sq, Skv)
     qf = qf.reshape(b, sq, hkv, groups, d)
-    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf)
+    scores = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qf, kf, preferred_element_type=jnp.float32
+    )
 
     mask = _build_mask(
         q_positions, kv_positions, causal, q_segment_ids, kv_segment_ids,
@@ -95,8 +106,12 @@ def attention_xla(
     if mask is not None:
         scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
 
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vf)
+    probs = jax.nn.softmax(scores, axis=-1)  # f32 statistics
+    if low_prec:
+        probs = probs.astype(jnp.bfloat16)
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", probs, vf, preferred_element_type=jnp.float32
+    )
     return out.reshape(b, sq, hq, d).astype(q.dtype)
 
 

@@ -224,9 +224,12 @@ def _prequantize_plane(x_ref, digits: int, group_size: int, n_groups: int):
     x32 = x_ref[:].astype(jnp.float32)
     half = x32.shape[1]
     # group-indicator matrix (half, n_groups) in int8: ones within group
+    # (no floor-div: integer division lowers via a closed_call that can trip
+    # the MLIR lowering cache inside Pallas bodies)
     rows = jax.lax.broadcasted_iota(jnp.int32, (half, n_groups), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (half, n_groups), 1)
-    gmat = (rows // group_size == cols).astype(jnp.int8)
+    d = rows - cols * group_size
+    gmat = ((d >= 0) & (d < group_size)).astype(jnp.int8)
 
     a = jnp.max(jnp.abs(x32), axis=1, keepdims=True)
     s1 = jnp.maximum(a / 127.0, 1e-20)
@@ -275,6 +278,130 @@ def _w4_decode_kernel(
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
+def _w4_decode_manual_kernel(
+    l_ref,  # (1,) int32 scalar prefetch — layer index
+    x_lo_ref,  # (bm, half) bf16 VMEM
+    x_hi_ref,  # (bm, half) bf16 VMEM
+    p_hbm,  # (L, nj, half, bout) uint8 — stays in HBM, manually DMA'd
+    s_ref,  # scales: VMEM (1, nj, s_rows, bout) resident, or HBM streamed
+    o_ref,  # (bm, dout) VMEM
+    *,
+    group_size: int,
+    n_groups: int,
+    nj: int,
+    bout: int,
+    n_buf: int,
+    act_digits: int,
+    s_rows: int,  # scale rows per block (2*n_groups padded to 8-mult)
+    stream_scales: bool,  # True: DMA scales per block (huge heads)
+):
+    """Manually multi-buffered weight stream.
+
+    Mosaic's automatic grid pipeline double-buffers only and measures
+    ~450 GB/s cold on v5e; with `n_buf` in-flight block DMAs this kernel
+    sustains ~720 GB/s (XLA's raw cold-stream is 766). Activations are
+    quantized once (per-row int8 digits); each arriving block is unpacked
+    shift-free and consumed by int8 MXU dots. Scales ride the same slot
+    scheme so VMEM holds only n_buf blocks of each.
+    """
+    l = l_ref[0]
+    bm = x_lo_ref.shape[0]
+    half = x_lo_ref.shape[1]
+
+    lo_digits = _prequantize_plane(x_lo_ref, act_digits, group_size, n_groups)
+    hi_digits = _prequantize_plane(x_hi_ref, act_digits, group_size, n_groups)
+
+    def compute_block(j, slot, bufs, scale_row):
+        acc = jnp.zeros((bm, bout), jnp.float32)
+        for g in range(n_groups):
+            sl = slice(g * group_size, (g + 1) * group_size)
+            lo, h16 = _unpack_planes(bufs[slot, sl, :])
+            s_l = scale_row(g).astype(jnp.float32)[None, :]
+            s_h = scale_row(n_groups + g).astype(jnp.float32)[None, :] / 16.0
+            for q, sx, csum in lo_digits:
+                acc += (
+                    _d8(q[:, sl], lo) - 8.0 * csum[:, g : g + 1]
+                ) * (sx * s_l)
+            for q, sx, csum in hi_digits:
+                acc += _d8(q[:, sl], h16) * (sx * s_h)
+        off = pl.multiple_of(j * bout, bout)
+        o_ref[:, pl.ds(off, bout)] = acc.astype(o_ref.dtype)
+
+    def body_resident(bufs, sems):
+        def dma_p(slot, j):
+            return pltpu.make_async_copy(
+                p_hbm.at[l, j], bufs.at[slot], sems.at[slot]
+            )
+
+        for s in range(n_buf):
+            @pl.when(s < nj)
+            def _(s=s):
+                dma_p(s, s).start()
+
+        def loop(j, carry):
+            slot = j % n_buf
+            dma_p(slot, j).wait()
+            compute_block(j, slot, bufs, lambda g: s_ref[0, j, g, :])
+
+            @pl.when(j + n_buf < nj)
+            def _():
+                dma_p((j + n_buf) % n_buf, j + n_buf).start()
+
+            return carry
+
+        jax.lax.fori_loop(0, nj, loop, 0)
+
+    def body_streamed(bufs, sbufs, sems, ssems):
+        def dma_p(slot, j):
+            return pltpu.make_async_copy(
+                p_hbm.at[l, j], bufs.at[slot], sems.at[slot]
+            )
+
+        def dma_s(slot, j):
+            return pltpu.make_async_copy(
+                s_ref.at[l, j], sbufs.at[slot], ssems.at[slot]
+            )
+
+        for s in range(n_buf):
+            @pl.when(s < nj)
+            def _(s=s):
+                dma_p(s, s).start()
+                dma_s(s, s).start()
+
+        def loop(j, carry):
+            slot = j % n_buf
+            dma_p(slot, j).wait()
+            dma_s(slot, j).wait()
+            compute_block(j, slot, bufs, lambda g: sbufs[slot, g, :])
+
+            @pl.when(j + n_buf < nj)
+            def _():
+                dma_p((j + n_buf) % n_buf, j + n_buf).start()
+                dma_s((j + n_buf) % n_buf, j + n_buf).start()
+
+            return carry
+
+        jax.lax.fori_loop(0, nj, loop, 0)
+
+    if stream_scales:
+        pl.run_scoped(
+            body_streamed,
+            bufs=pltpu.VMEM((n_buf, half, bout), jnp.uint8),
+            sbufs=pltpu.VMEM((n_buf, s_rows, bout), jnp.bfloat16),
+            sems=pltpu.SemaphoreType.DMA((n_buf,)),
+            ssems=pltpu.SemaphoreType.DMA((n_buf,)),
+        )
+    else:
+        pl.run_scoped(
+            body_resident,
+            bufs=pltpu.VMEM((n_buf, half, bout), jnp.uint8),
+            sems=pltpu.SemaphoreType.DMA((n_buf,)),
+        )
+
+
+_MANUAL_BUF_BUDGET = 12 << 20  # VMEM for in-flight weight blocks
+
+
 @functools.partial(jax.jit, static_argnames=("act_digits",))
 def w4_matmul_decode(
     x: jnp.ndarray,  # (M<=32, din) bf16
@@ -283,11 +410,121 @@ def w4_matmul_decode(
     act_digits: int = 2,
     layer_index: Optional[jnp.ndarray] = None,  # () int32 for stacked
 ) -> jnp.ndarray:
-    """Stacked form: when called inside a scan over layers, pass the FULL
+    """Decode-shaped fused dequant matmul (manual multi-buffer DMA stream).
+
+    Stacked form: when called inside a scan over layers, pass the FULL
     (L, nj, half, bout) arrays plus the layer index — the kernel DMAs its
-    blocks straight out of the stacked array (scalar-prefetch index map),
-    so no per-layer weight copy is ever materialized. A lax.scan slice of
-    the weights would silently halve effective HBM bandwidth."""
+    blocks straight out of the stacked array, so no per-layer weight copy
+    is ever materialized (a lax.scan slice would halve HBM bandwidth)."""
+    # NOTE(perf): _w4_matmul_decode_manual streams weight blocks with 4
+    # manually double-buffered DMAs and hits ~718 GB/s in isolation (vs
+    # ~450 for the Mosaic auto-pipeline), but integrated end-to-end it
+    # loses ~15% — per-call run_scoped buffer setup across the ~140 kernel
+    # invocations per decode step eats the gain. Kept for the next round
+    # (amortize by fusing a whole layer into one invocation).
+    return _w4_matmul_decode_grid(x, packed, scales, act_digits, layer_index)
+
+
+def _w4_matmul_decode_manual(x, packed, scales, act_digits, layer_index):
+    m, din = x.shape
+    half, bout, nj, ngh, group_size, din_w, dout = _tiled_meta(packed, scales)
+    assert din == din_w, (din, din_w)
+    bm = max(8, ((m + 7) // 8) * 8)  # one row block, 8-aligned, <= 32
+    if bm != m:
+        # zeros+update instead of jnp.pad: pad's closed_call trips an MLIR
+        # lowering-cache KeyError when it appears beside pallas run_scoped
+        x = jax.lax.dynamic_update_slice(
+            jnp.zeros((bm, din), x.dtype), x, (0, 0)
+        )
+
+    if packed.ndim == 3:
+        packed = packed[None]
+        scales = scales[None]
+        layer_index = jnp.zeros((), jnp.int32)
+    assert layer_index is not None
+
+    # Mosaic DMA slices / VMEM blocks need an 8-aligned sublane extent:
+    # pad the scale rows (2*ngh) up to a multiple of 8. The pad is
+    # loop-invariant, so XLA hoists it out of decode scans.
+    s_rows = ((2 * ngh + 7) // 8) * 8
+    if s_rows != 2 * ngh:
+        # (expressed as update-into-zeros: jnp.pad here trips an MLIR
+        # closed_call lowering-cache bug inside nested jits)
+        padded = jnp.zeros(
+            scales.shape[:2] + (s_rows, scales.shape[-1]), scales.dtype
+        )
+        scales = jax.lax.dynamic_update_slice(
+            padded, scales, (0, 0, 0, 0)
+        )
+
+    # Scales live whole-layer in VMEM (one auto-DMA per call) when small;
+    # giant heads (lm_head: ~8.5MB of scales) stream them per block.
+    scale_layer_bytes = nj * s_rows * bout * 2
+    stream_scales = scale_layer_bytes > (3 << 20)
+
+    out_bytes = bm * dout * 2
+    block_bytes = half * bout + (
+        2 * s_rows * bout if stream_scales else 0
+    )
+    avail = _MANUAL_BUF_BUDGET - out_bytes
+    if not stream_scales:
+        avail -= scale_layer_bytes
+    avail = max(avail, 2 * block_bytes)
+    n_buf = max(2, min(4, avail // block_bytes))
+    n_buf = min(n_buf, nj) if nj > 1 else 1
+
+    # one-step grid (grid-free pallas_call rejects blocked/windowed specs)
+    scale_spec = (
+        pl.BlockSpec(memory_space=pltpu.ANY)
+        if stream_scales
+        else pl.BlockSpec(
+            (1, nj, s_rows, bout), lambda i, l: (l[0], 0, 0, 0)
+        )
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _w4_decode_manual_kernel,
+            group_size=group_size,
+            n_groups=ngh,
+            nj=nj,
+            bout=bout,
+            n_buf=n_buf,
+            act_digits=act_digits,
+            s_rows=s_rows,
+            stream_scales=stream_scales,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((bm, half), lambda i, l: (0, 0)),
+                pl.BlockSpec((bm, half), lambda i, l: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                scale_spec,
+            ],
+            out_specs=pl.BlockSpec((bm, dout), lambda i, l: (0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bm, dout), x.dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        jnp.asarray(layer_index, jnp.int32).reshape(1),
+        x[:, :half],
+        x[:, half:],
+        packed,
+        scales,
+    )
+    return out[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("act_digits",))
+def _w4_matmul_decode_grid(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    scales: jnp.ndarray,
+    act_digits: int = 2,
+    layer_index: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Grid-pipelined variant (CPU interpret mode + fallback)."""
     m, din = x.shape
     half, bout, nj, ngh, group_size, din_w, dout = _tiled_meta(packed, scales)
     assert din == din_w, (din, din_w)
@@ -447,9 +684,10 @@ def _w4_prefill_kernel(
 @functools.partial(jax.jit, static_argnames=("block_m",))
 def w4_matmul_prefill(
     x: jnp.ndarray,  # (M, din) bf16
-    packed: jnp.ndarray,  # (nj, din/2, bout) uint8
-    scales: jnp.ndarray,  # (nj, 2*ngh, bout) bf16
+    packed: jnp.ndarray,  # (nj, din/2, bout) uint8 or (L, nj, ...) stacked
+    scales: jnp.ndarray,  # (nj, 2*ngh, bout) bf16 or (L, nj, ...) stacked
     block_m: int = 512,
+    layer_index: Optional[jnp.ndarray] = None,  # () int32 for stacked
 ) -> jnp.ndarray:
     m, din = x.shape
     half, bout, nj, ngh, group_size, din_w, dout = _tiled_meta(packed, scales)
@@ -468,17 +706,100 @@ def w4_matmul_prefill(
 
     grid = (x.shape[0] // block_m, nj, nk)
 
+    kernel = functools.partial(
+        _w4_prefill_kernel, group_size=group_size, groups_per_block=gpb
+    )
+    scratch = [pltpu.VMEM((block_m, bout), jnp.float32)]
+    out_shape = jax.ShapeDtypeStruct((x.shape[0], dout), x.dtype)
+    cp = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+
+    if packed.ndim == 4:
+        # stacked per-layer weights: select the layer inside the index maps
+        # (scalar prefetch) — no per-layer weight copy before the kernel.
+        assert layer_index is not None
+        L = packed.shape[0]
+        s_lo5 = scales[:, :, :ngh, :].reshape(L, nj, nk, gpb, bout)
+        s_hi5 = scales[:, :, ngh:, :].reshape(L, nj, nk, gpb, bout)
+
+        def wrapped(l_ref, x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref,
+                    o_ref, acc_ref):
+            ki = pl.program_id(2)
+            nk_ = pl.num_programs(2)
+
+            @pl.when(ki == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            for g in range(gpb):
+                sl = slice(g * group_size, (g + 1) * group_size)
+                lo, h16 = _unpack_planes(p_ref[0, 0, sl, :])
+                xg_lo = x_lo_ref[:, sl]
+                xg_hi = x_hi_ref[:, sl]
+                part_lo = jax.lax.dot_general(
+                    xg_lo, lo.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                part_hi = jax.lax.dot_general(
+                    xg_hi, h16.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                c_lo = jnp.sum(
+                    xg_lo.astype(jnp.float32), axis=1, keepdims=True
+                )
+                s_l = s_lo_ref[0, 0, 0, g, :].astype(jnp.float32)[None, :]
+                s_h = s_hi_ref[0, 0, 0, g, :].astype(jnp.float32)[None, :]
+                acc_ref[:] += (part_lo - 8.0 * c_lo) * s_l
+                acc_ref[:] += part_hi * (s_h / 16.0)
+
+            @pl.when(ki == nk_ - 1)
+            def _():
+                o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_in), lambda i, j, k, l: (i, k)),
+                pl.BlockSpec((block_m, block_in), lambda i, j, k, l: (i, k)),
+                pl.BlockSpec(
+                    (1, 1, block_in, bout),
+                    lambda i, j, k, l: (l[0], j, k, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, gpb, bout),
+                    lambda i, j, k, l: (l[0], j, k, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, gpb, bout),
+                    lambda i, j, k, l: (l[0], j, k, 0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_m, bout), lambda i, j, k, l: (i, j)
+            ),
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            wrapped,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=cp,
+            interpret=_interpret(),
+        )(
+            jnp.asarray(layer_index, jnp.int32).reshape(1),
+            x[:, :half], x[:, half:], packed, s_lo5, s_hi5,
+        )
+        return out[:m]
+
     # Scales per k-block as full trailing dims (Mosaic block-shape rule):
     # (nj, ngh, bout) -> (nj, nk, gpb, bout), pure view of contiguous rows.
     s_lo4 = scales[:, :ngh, :].reshape(nj, nk, gpb, bout)
     s_hi4 = scales[:, ngh:, :].reshape(nj, nk, gpb, bout)
 
     out = pl.pallas_call(
-        functools.partial(
-            _w4_prefill_kernel,
-            group_size=group_size,
-            groups_per_block=gpb,
-        ),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, block_in), lambda i, j, k: (i, k)),
@@ -488,11 +809,9 @@ def w4_matmul_prefill(
             pl.BlockSpec((1, 1, gpb, bout), lambda i, j, k: (j, k, 0, 0)),
         ],
         out_specs=pl.BlockSpec((block_m, bout), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], dout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((block_m, bout), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=cp,
         interpret=_interpret(),
     )(x[:, :half], x[:, half:], packed, s_lo4, s_hi4)
     return out[:m]
