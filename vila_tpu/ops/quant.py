@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 DEFAULT_GROUP = 128
-_VMEM_BLOCK_BUDGET = 5 << 20  # packed block bytes (double-buffered by Mosaic)
+_VMEM_BLOCK_BUDGET = (26 << 20) // 10  # ~2.6MB blocks: 4 fit in flight
 
 
 def _interpret() -> bool:
@@ -341,7 +341,7 @@ def _w4_decode_manual_kernel(
         def loop(j, carry):
             slot = j % n_buf
             dma_p(slot, j).wait()
-            compute_block(j, slot, bufs, lambda g: s_ref[0, j, g, :])
+            compute_block(j, slot, bufs, lambda g: s_ref[j, g, :])
 
             @pl.when(j + n_buf < nj)
             def _():
@@ -416,12 +416,10 @@ def w4_matmul_decode(
     (L, nj, half, bout) arrays plus the layer index — the kernel DMAs its
     blocks straight out of the stacked array, so no per-layer weight copy
     is ever materialized (a lax.scan slice would halve HBM bandwidth)."""
-    # NOTE(perf): _w4_matmul_decode_manual streams weight blocks with 4
-    # manually double-buffered DMAs and hits ~718 GB/s in isolation (vs
-    # ~450 for the Mosaic auto-pipeline), but integrated end-to-end it
-    # loses ~15% — per-call run_scoped buffer setup across the ~140 kernel
-    # invocations per decode step eats the gain. Kept for the next round
-    # (amortize by fusing a whole layer into one invocation).
+    if not _interpret():
+        return _w4_matmul_decode_manual(
+            x, packed, scales, act_digits, layer_index
+        )
     return _w4_matmul_decode_grid(x, packed, scales, act_digits, layer_index)
 
 
@@ -457,8 +455,12 @@ def _w4_matmul_decode_manual(x, packed, scales, act_digits, layer_index):
             padded, scales, (0, 0, 0, 0)
         )
 
-    # Scales live whole-layer in VMEM (one auto-DMA per call) when small;
-    # giant heads (lm_head: ~8.5MB of scales) stream them per block.
+    # Fast configuration (measured): grid=() with PLAIN (non-windowed)
+    # VMEM specs — any windowed/blocked spec flips Mosaic into its grid
+    # pipeline mode and halves manual-DMA throughput (718 -> ~360 GB/s).
+    # Scales: whole-layer pre-sliced outside the kernel when they fit VMEM
+    # (a ~2MB copy per call, hoist-friendly); streamed per block only for
+    # giant heads (lm_head scales are ~8.5MB).
     scale_layer_bytes = nj * s_rows * bout * 2
     stream_scales = scale_layer_bytes > (3 << 20)
 
@@ -473,14 +475,15 @@ def _w4_matmul_decode_manual(x, packed, scales, act_digits, layer_index):
     n_buf = max(2, min(4, avail // block_bytes))
     n_buf = min(n_buf, nj) if nj > 1 else 1
 
-    # one-step grid (grid-free pallas_call rejects blocked/windowed specs)
-    scale_spec = (
-        pl.BlockSpec(memory_space=pltpu.ANY)
-        if stream_scales
-        else pl.BlockSpec(
-            (1, nj, s_rows, bout), lambda i, l: (l[0], 0, 0, 0)
-        )
-    )
+    if stream_scales:
+        scale_arg = scales  # (L, nj, s_rows, bout) in HBM
+        scale_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        scale_arg = jax.lax.dynamic_index_in_dim(
+            scales, layer_index, 0, keepdims=False
+        )  # (nj, s_rows, bout) resident in VMEM
+        scale_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         functools.partial(
             _w4_decode_manual_kernel,
@@ -495,14 +498,14 @@ def _w4_matmul_decode_manual(x, packed, scales, act_digits, layer_index):
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(1,),
+            grid=(),
             in_specs=[
-                pl.BlockSpec((bm, half), lambda i, l: (0, 0)),
-                pl.BlockSpec((bm, half), lambda i, l: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 scale_spec,
             ],
-            out_specs=pl.BlockSpec((bm, dout), lambda i, l: (0, 0)),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((bm, dout), x.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -511,7 +514,7 @@ def _w4_matmul_decode_manual(x, packed, scales, act_digits, layer_index):
         x[:, :half],
         x[:, half:],
         packed,
-        scales,
+        scale_arg,
     )
     return out[:m]
 
@@ -542,6 +545,15 @@ def _w4_matmul_decode_grid(
     stacked = packed.ndim == 4
     if stacked:
         assert layer_index is not None
+        # CAUTION: on real TPU the (1, 1, ngh, bout) scale blocks read wrong
+        # rows when ngh is not 8-aligned (Mosaic pads the block memref and
+        # the block index silently lands off-row) — measured rel_err 0.25.
+        # The manual-DMA kernel is the TPU path; this variant is for
+        # interpret mode (CPU tests) only.
+        assert _interpret(), (
+            "stacked grid decode kernel is interpret-only; TPU uses the "
+            "manual-DMA kernel (_w4_matmul_decode_manual)"
+        )
 
         def wrapped(l_ref, x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref, o_ref):
             # 4D refs indexed in place (sub-ref slicing of the non-8-aligned
