@@ -208,7 +208,9 @@ def main():
     decode_tps8 = bs8 / step8
 
     # ---------------- TTFT (single image, bs=1) ----------------
-    s_pad = 512  # prompt bucket: 256 media tokens + text
+    # Single-image prompt: 256 media tokens + ~20 text tokens = ~280,
+    # which the engine buckets to 384 (PROMPT_BUCKETS).
+    s_pad = 384
     tiles = jnp.zeros((1, 448, 448, 3), jnp.uint8)
     ids = jnp.zeros((1, s_pad), jnp.int32)
     media_pos = jnp.arange(14, 14 + 256, dtype=jnp.int32)

@@ -58,7 +58,7 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-PROMPT_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+PROMPT_BUCKETS = (128, 256, 384, 512, 768, 1024, 2048, 4096, 8192, 16384, 32768)
 TILE_BUCKETS = (1, 2, 4, 8, 12, 16, 24, 32, 48, 64, 96, 128)
 
 
