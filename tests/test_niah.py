@@ -32,7 +32,7 @@ def test_sharded_forward_matches_single(llm):
     rng = np.random.default_rng(0)
     embeds = jnp.asarray(rng.normal(size=(1, 64, 32)).astype(np.float32))
 
-    single = niah.forward_embeds_sharded(params, cfg, embeds, niah._DummyMesh())
+    single = niah.forward_embeds_sharded(params, cfg, embeds, None)
 
     devs = np.array(jax.devices()[:4]).reshape(4)
     mesh = Mesh(devs, ("sp",))

@@ -27,6 +27,29 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _truncate_example(e: Dict[str, Any], n: int) -> Dict[str, Any]:
+    """Truncate a sample to n tokens; drop tiles whose media tokens are
+    entirely cut so the vision tower doesn't run on unused tiles."""
+    if len(e["input_ids"]) <= n:
+        return e
+    out = dict(e)
+    out["input_ids"] = e["input_ids"][:n]
+    out["labels"] = e["labels"][:n]
+    tiles = e["tiles"]
+    if tiles.shape[0]:
+        toks_per_tile = len(e["media_positions"]) // tiles.shape[0]
+        mp = np.asarray(e["media_positions"]).reshape(
+            tiles.shape[0], toks_per_tile
+        )
+        keep = (mp < n).any(axis=1)  # tile contributes ≥1 surviving token
+        mp = mp[keep].reshape(-1)
+        out["tiles"] = tiles[keep]
+        # keep tile alignment: feature k scatters to media_positions[k], so
+        # truncated positions become OOB sentinels instead of being removed
+        out["media_positions"] = np.where(mp < n, mp, OOB)
+    return out
+
+
 @dataclasses.dataclass
 class Collator:
     """Pad examples to a (B, S) batch; per-sample tiles padded to a common
@@ -104,18 +127,20 @@ class PackingCollator:
         rows: List[List[Dict[str, Any]]] = [[] for _ in range(self.rows)]
         used = [0] * self.rows
         for e in examples:
-            n = len(e["input_ids"])
-            if n > s:
-                continue  # cannot fit; skip (reference truncates instead)
-            placed = False
-            for r in range(self.rows):
-                if used[r] + n <= s:
-                    rows[r].append(e)
-                    used[r] += n
-                    placed = True
-                    break
-            if not placed:
-                continue
+            n = min(len(e["input_ids"]), s)
+            # first-fit; when nothing fits, truncate into the emptiest row
+            # (the reference truncates rather than dropping samples,
+            # llava/data/collate.py:100-118 / __truncate_sequence).
+            r = next(
+                (i for i in range(self.rows) if used[i] + n <= s), None
+            )
+            if r is None:
+                r = min(range(self.rows), key=lambda i: used[i])
+                n = s - used[r]
+                if n <= 1:
+                    continue  # row completely full; nothing sensible to keep
+            rows[r].append(_truncate_example(e, n))
+            used[r] += n
 
         b = self.rows
         tile_counts = [

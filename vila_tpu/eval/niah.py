@@ -61,41 +61,72 @@ def splice_needle(
 def forward_embeds_sharded(
     llm_params: Dict[str, Any],
     llm_cfg,
-    embeds: jnp.ndarray,  # (1, S, D) — S divisible by sp
+    embeds: jnp.ndarray,  # (1, S, D) — S divisible by the SP degree
     mesh,
     positions: Optional[jnp.ndarray] = None,
+    ring_layout: str = "zigzag",
 ) -> jnp.ndarray:
     """Causal forward over pre-computed embeddings with the sequence sharded
-    on the mesh `sp` axis (ring attention). Returns logits (1, S, V)."""
+    on the mesh sequence axes, running **explicit ring/hybrid attention**
+    (vila_tpu.parallel.sp) inside every decoder layer — per-device attention
+    memory is O(S_local · S_local) per ring step, never the full (S, S)
+    scores. Returns logits (1, S, V) in the original token order.
+
+    TPU equivalent of eval_vision_niah.py's zigzag-ring monkey-patch
+    (llava/eval/vision_niah_vila/zigzag_ring_attn/monkey_patch.py)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from vila_tpu.models import qwen2
+    from vila_tpu.parallel.sp import SPConfig
+    from vila_tpu.parallel.ring_attention import (
+        inverse_zigzag_order,
+        zigzag_order,
+    )
 
     s = embeds.shape[1]
-    sp = mesh.shape.get("sp", 1)
-    assert s % max(sp, 1) == 0, (s, sp)
     if positions is None:
         positions = jnp.arange(s, dtype=jnp.int32)[None, :]
 
+    sp_plan = None
+    seq_spec: Any = None
+    if mesh is not None and hasattr(mesh, "axis_names"):
+        sp_plan = SPConfig(mesh=mesh, ring_layout=ring_layout)
+        if not sp_plan.active:
+            sp_plan = None
+        else:
+            assert s % sp_plan.degree == 0, (s, sp_plan.degree)
+            seq_spec = P(None, sp_plan.seq_axes)
+
+    layout = sp_plan.layout_for(s) if sp_plan is not None else "contiguous"
+    if layout == "zigzag":
+        order = zigzag_order(s, sp_plan.ring_degree)
+        inv = inverse_zigzag_order(s, sp_plan.ring_degree)
+        embeds = embeds[:, order]
+        positions = positions[:, order]
+
     def fwd(p, e, pos):
         logits, _ = qwen2.forward(
-            p, llm_cfg, inputs_embeds=e, positions=pos, attn_impl="auto"
+            p, llm_cfg, inputs_embeds=e, positions=pos,
+            attn_impl="auto", sp=sp_plan,
         )
         return logits
 
-    if sp <= 1:
+    if sp_plan is None:
         return jax.jit(fwd)(llm_params, embeds, positions)
 
-    in_shardings = (
-        NamedSharding(mesh, P()),
-        NamedSharding(mesh, P(None, "sp", None)),
-        NamedSharding(mesh, P(None, "sp")),
-    )
-    out_sharding = NamedSharding(mesh, P(None, "sp", None))
     fn = jax.jit(
-        fwd, in_shardings=in_shardings, out_shardings=out_sharding
+        fwd,
+        in_shardings=(
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P(None, sp_plan.seq_axes, None)),
+            NamedSharding(mesh, P(None, sp_plan.seq_axes)),
+        ),
+        out_shardings=NamedSharding(mesh, P(None, sp_plan.seq_axes, None)),
     )
-    return fn(llm_params, embeds, positions)
+    logits = fn(llm_params, embeds, positions)
+    if layout == "zigzag":
+        logits = logits[:, inv]
+    return logits
 
 
 def run_niah(
@@ -125,14 +156,13 @@ def run_niah(
             )[0]
             full = jnp.concatenate([seq, ans_embeds])[None]
             if mesh is not None:
-                sp = mesh.shape.get("sp", 1)
-                pad = (-full.shape[1]) % max(sp, 1)
+                sp = mesh.shape.get("sp", 1) * mesh.shape.get("su", 1)
+                # 2·sp multiple so the zigzag ring layout applies
+                pad = (-full.shape[1]) % max(2 * sp, 1)
                 if pad:
                     full = jnp.pad(full, ((0, 0), (0, pad), (0, 0)))
             logits = forward_embeds_sharded(
                 llm_params, llm_cfg, full, mesh
-            ) if mesh is not None else forward_embeds_sharded(
-                llm_params, llm_cfg, full, _DummyMesh()
             )
             start = seq.shape[0] - 1
             pred = np.asarray(
@@ -145,5 +175,3 @@ def run_niah(
     return results
 
 
-class _DummyMesh:
-    shape: Dict[str, int] = {}

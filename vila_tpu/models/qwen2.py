@@ -204,12 +204,20 @@ def forward(
     gather_position: Optional[jnp.ndarray] = None,  # (B,) per-sample index
     return_hidden: bool = False,
     attn_impl: str = "auto",
+    sp: Optional[Any] = None,  # parallel.sp.SPConfig: MM-SP attention
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Run the decoder. Returns (logits_or_hidden, updated_cache).
 
     With `cache`, the S new tokens are written at slots [fill, fill+S) and
     attend to every previously-valid slot plus themselves (causally).
     Without `cache`, standard causal (optionally packed) attention.
+
+    With `sp` (an active `vila_tpu.parallel.sp.SPConfig`), the cache-free
+    attention runs sequence-parallel — ring/Ulysses/hybrid under shard_map
+    over the mesh — the TPU equivalent of the reference's monkey-patched
+    MM-SP attention (train/sequence_parallel/monkey_patch.py:133-239).
+    Inputs must already be laid out for the configured ring layout
+    (`parallel.sp.zigzag_batch` for zigzag).
     """
     dtype = cfg.compute_dtype
     if inputs_embeds is None:
@@ -330,6 +338,12 @@ def forward(
                 q_segment_ids=q_seg,
                 kv_segment_ids=kv_seg,
                 impl=attn_impl,
+            )
+        elif sp is not None and sp.active:
+            from vila_tpu.parallel.sp import sp_attention
+
+            attn = sp_attention(
+                q, k, v, sp, causal=True, segment_ids=segment_ids
             )
         else:
             attn = multi_head_attention(

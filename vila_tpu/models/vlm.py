@@ -128,6 +128,7 @@ def forward(
     last_token_only: bool = False,
     gather_position: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
+    sp: Optional[Any] = None,  # parallel.sp.SPConfig
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Fused multimodal forward. Returns (logits, new_cache)."""
     embeds = qwen2.embed_tokens(params["llm"], cfg.llm, input_ids)
@@ -146,6 +147,7 @@ def forward(
         last_token_only=last_token_only,
         gather_position=gather_position,
         attn_impl=attn_impl,
+        sp=sp,
     )
 
 
@@ -156,6 +158,7 @@ def forward_batch(
     *,
     attn_impl: str = "auto",
     return_hidden: bool = False,
+    sp: Optional[Any] = None,  # parallel.sp.SPConfig
 ) -> jnp.ndarray:
     """Training forward over a collated batch. Returns logits (B, S, V),
     or final hidden states (B, S, D) with `return_hidden` (for the chunked
@@ -196,5 +199,6 @@ def forward_batch(
         segment_ids=batch.get("segment_ids"),
         attn_impl=attn_impl,
         return_hidden=return_hidden,
+        sp=sp,
     )
     return out

@@ -120,18 +120,7 @@ def _fp8_linear_bwd(res, g):
 
 fp8_linear.defvjp(_fp8_linear_fwd, _fp8_linear_bwd)
 
-
-def fp8ify_llm_params(llm_params: Dict[str, Any]) -> Dict[str, Any]:
-    """Mark stacked decoder kernels for the fp8 matmul path: wraps each
-    eligible kernel as {"fp8": kernel}. Consumed by qwen2._linear."""
-    out = dict(llm_params)
-    layers = {}
-    for name, slot in llm_params["layers"].items():
-        if "kernel" in slot:
-            s = dict(slot)
-            s["fp8"] = True
-            layers[name] = s
-        else:
-            layers[name] = slot
-    out["layers"] = layers
-    return out
+# NOTE: the switch for FP8 decoder matmuls is `LLMConfig.fp8_matmul` (read
+# by qwen2._linear for every projection); there is deliberately no
+# param-tree tagging helper — a tag leaf would not survive the stacked-layer
+# lax.scan and the config flag already covers every eligible matmul.

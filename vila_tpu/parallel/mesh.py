@@ -6,12 +6,18 @@ scripts/zero3.json). The TPU-native equivalent is a single
 `jax.sharding.Mesh` with named axes and GSPMD sharding constraints:
 
   * dp    — data parallel (maps to DCN across slices, ICI within)
-  * sp    — sequence parallel (ring/Ulysses both ride this axis on ICI)
+  * sp    — ring sequence parallel (outer sequence chunks; ppermute ring)
+  * su    — Ulysses sequence parallel (inner; head-scatter all-to-all)
   * tp    — tensor parallel (not present in the reference; free win on TPU)
 
+The reference's sp_degree = ring_degree × ulysses_degree
+(sequence_parallel/globals.py:41-43) maps to sp × su here, ring major —
+a contiguous global sequence slice lands on one ring shard, split among its
+Ulysses group.
+
 ZeRO-3 parameter sharding ≙ FSDP: every weight matrix is sharded over
-(dp, sp) on one dimension ("fsdp" superaxis) and over tp on the other; XLA
-inserts the all-gathers/reduce-scatters that DeepSpeed does by hand.
+(dp, sp, su) on one dimension ("fsdp" superaxis) and over tp on the other;
+XLA inserts the all-gathers/reduce-scatters that DeepSpeed does by hand.
 """
 
 from __future__ import annotations
@@ -22,21 +28,23 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-FSDP = ("dp", "sp")  # superaxis used for ZeRO-3-style weight sharding
+FSDP = ("dp", "sp", "su")  # superaxis used for ZeRO-3-style weight sharding
+SEQ = ("sp", "su")  # superaxis the sequence dimension is sharded over
 
 
 def make_mesh(
     dp: int = 1,
     sp: int = 1,
     tp: int = 1,
+    su: int = 1,
     devices: Optional[Sequence[Any]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    need = dp * sp * tp
+    need = dp * sp * su * tp
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")
-    arr = np.asarray(devices[:need]).reshape(dp, sp, tp)
-    return Mesh(arr, axis_names=("dp", "sp", "tp"))
+    arr = np.asarray(devices[:need]).reshape(dp, sp, su, tp)
+    return Mesh(arr, axis_names=("dp", "sp", "su", "tp"))
 
 
 def _div(n: int, mesh: Mesh, axes) -> bool:
@@ -171,12 +179,12 @@ def shard_params(params, specs, mesh: Mesh):
 
 
 def batch_specs(mesh: Mesh) -> Dict[str, P]:
-    """Training batch sharding: batch over dp, sequence over sp."""
+    """Training batch sharding: batch over dp, sequence over sp×su."""
     return {
-        "input_ids": P("dp", "sp"),
-        "labels": P("dp", "sp"),
-        "positions": P("dp", "sp"),
-        "segment_ids": P("dp", "sp"),
+        "input_ids": P("dp", SEQ),
+        "labels": P("dp", SEQ),
+        "positions": P("dp", SEQ),
+        "segment_ids": P("dp", SEQ),
         "pixel_values": P("dp"),
         "media_positions": P("dp"),
     }

@@ -22,10 +22,19 @@ def causal_lm_loss(
     logits: jnp.ndarray,  # (B, S, V) float32
     labels: jnp.ndarray,  # (B, S) int32 with IGNORE_INDEX masking
     z_loss: float = 0.0,
+    shift: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Next-token cross entropy. Returns (loss, n_valid_tokens)."""
-    logits = logits[:, :-1]
-    targets = labels[:, 1:]
+    """Next-token cross entropy. Returns (loss, n_valid_tokens).
+
+    shift=False expects labels already aligned to logits (labels[i] is the
+    target for position i) — required under the zigzag ring layout where
+    array order is not causal order (parallel.sp.zigzag_batch pre-shifts).
+    """
+    if shift:
+        logits = logits[:, :-1]
+        targets = labels[:, 1:]
+    else:
+        targets = labels
     valid = targets != IGNORE_INDEX
     safe_targets = jnp.where(valid, targets, 0)
 
@@ -49,6 +58,7 @@ def chunked_causal_lm_loss(
     labels: jnp.ndarray,  # (B, S) int32 with IGNORE_INDEX masking
     chunk_size: int = 1024,
     z_loss: float = 0.0,
+    shift: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused chunked cross entropy — the TPU answer to liger's fused CE
     kernel (llava/model/liger/cross_entropy.py:24).
@@ -63,9 +73,13 @@ def chunked_causal_lm_loss(
     from vila_tpu.models import qwen2
 
     b, s, d = hidden.shape
-    # next-token shift, then flatten tokens
-    h = hidden[:, :-1].reshape(-1, d)
-    t = labels[:, 1:].reshape(-1)
+    # next-token shift (unless labels are pre-aligned), then flatten tokens
+    if shift:
+        h = hidden[:, :-1].reshape(-1, d)
+        t = labels[:, 1:].reshape(-1)
+    else:
+        h = hidden.reshape(-1, d)
+        t = labels.reshape(-1)
     n = h.shape[0]
 
     pad = (-n) % chunk_size

@@ -24,26 +24,36 @@ from vila_tpu.train.losses import causal_lm_loss, chunked_causal_lm_loss
 
 
 def loss_fn(
-    params, cfg, batch, ce_chunk_size: Optional[int] = None
+    params, cfg, batch, ce_chunk_size: Optional[int] = None, sp=None
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    # Under the zigzag ring layout, parallel.sp.zigzag_batch pre-shifted the
+    # labels (array order is not causal order); skip the in-loss shift then.
+    shift = not (
+        sp is not None
+        and sp.layout_for(batch["input_ids"].shape[1]) == "zigzag"
+    )
     if ce_chunk_size:
         # Fused chunked CE: lm_head projection never materializes (B,S,V).
-        hidden = vlm.forward_batch(params, cfg, batch, return_hidden=True)
+        hidden = vlm.forward_batch(
+            params, cfg, batch, return_hidden=True, sp=sp
+        )
         loss, n_tokens = chunked_causal_lm_loss(
             hidden, params["llm"], cfg.llm,
-            batch["labels"], chunk_size=ce_chunk_size,
+            batch["labels"], chunk_size=ce_chunk_size, shift=shift,
         )
     else:
-        logits = vlm.forward_batch(params, cfg, batch)
-        loss, n_tokens = causal_lm_loss(logits, batch["labels"])
+        logits = vlm.forward_batch(params, cfg, batch, sp=sp)
+        loss, n_tokens = causal_lm_loss(
+            logits, batch["labels"], shift=shift
+        )
     return loss, {"loss": loss, "n_tokens": n_tokens}
 
 
 def train_step(
-    params, opt_state, batch, *, cfg, optimizer, ce_chunk_size=None
+    params, opt_state, batch, *, cfg, optimizer, ce_chunk_size=None, sp=None
 ):
     grad_fn = jax.value_and_grad(
-        lambda p: loss_fn(p, cfg, batch, ce_chunk_size), has_aux=True
+        lambda p: loss_fn(p, cfg, batch, ce_chunk_size, sp), has_aux=True
     )
     (loss, metrics), grads = grad_fn(params)
     updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -58,11 +68,19 @@ def make_sharded_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
     ce_chunk_size: Optional[int] = None,
+    sp_attention: bool = False,
+    ring_layout: str = "zigzag",
 ):
     """Returns (step_fn, sharded_params, sharded_opt_state, batch_shardings).
 
     `step_fn(params, opt_state, batch)` is jitted with donated state and
     GSPMD shardings: FSDP(+TP) params, dp×sp activations.
+
+    With `sp_attention` and a mesh whose sp×su > 1, every decoder attention
+    runs as explicit ring/Ulysses/hybrid MM-SP under shard_map instead of
+    letting GSPMD all-gather the sequence — attention memory stays
+    O(S_local²·ring) per device. Feed batches through
+    `parallel.sp.zigzag_batch` when `ring_layout="zigzag"`.
     """
     param_specs = mesh_lib.vlm_param_specs(cfg, params, mesh)
     param_sh = mesh_lib.to_shardings(param_specs, mesh)
@@ -80,20 +98,23 @@ def make_sharded_train_step(
         opt_state,
     )
 
-    bspec = {
-        "input_ids": P("dp", "sp"),
-        "labels": P("dp", "sp"),
-        "positions": P("dp", "sp"),
-        "segment_ids": P("dp", "sp"),
-        "pixel_values": P("dp"),
-        "media_positions": P("dp"),
+    batch_sh = {
+        k: NamedSharding(mesh, v)
+        for k, v in mesh_lib.batch_specs(mesh).items()
     }
-    batch_sh = {k: NamedSharding(mesh, v) for k, v in bspec.items()}
+
+    sp = None
+    if sp_attention:
+        from vila_tpu.parallel.sp import SPConfig
+
+        sp = SPConfig(mesh=mesh, ring_layout=ring_layout)
+        if not sp.active:
+            sp = None
 
     step = jax.jit(
         functools.partial(
             train_step, cfg=cfg, optimizer=optimizer,
-            ce_chunk_size=ce_chunk_size,
+            ce_chunk_size=ce_chunk_size, sp=sp,
         ),
         donate_argnums=(0, 1),
     )

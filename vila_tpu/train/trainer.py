@@ -42,10 +42,16 @@ class TrainArgs:
     per_device_batch_size: int = 1
     seq_len: int = 4096
     pack_rows: int = 0  # >0: greedy sample packing into this many rows
-    # parallelism (mesh axes)
+    # parallelism (mesh axes); sp = ring degree, su = Ulysses degree —
+    # sp_degree(reference) = sp × su (sequence_parallel/globals.py:41-43)
     dp: int = 1
     sp: int = 1
+    su: int = 1
     tp: int = 1
+    # explicit MM-SP attention (ring/Ulysses/hybrid under shard_map) instead
+    # of GSPMD-chosen collectives; zigzag = causal ring load balance
+    sp_attention: bool = True
+    ring_layout: str = "zigzag"
     # optimizer / tuning
     learning_rate: float = 2e-5
     mm_projector_lr: Optional[float] = None
@@ -101,7 +107,9 @@ class Trainer:
     ) -> None:
         self.cfg = cfg
         self.args = args
-        self.mesh = mesh_lib.make_mesh(dp=args.dp, sp=args.sp, tp=args.tp)
+        self.mesh = mesh_lib.make_mesh(
+            dp=args.dp, sp=args.sp, su=args.su, tp=args.tp
+        )
         ocfg = OptimizerConfig(
             learning_rate=args.learning_rate,
             mm_projector_lr=args.mm_projector_lr,
@@ -125,7 +133,16 @@ class Trainer:
         ) = make_sharded_train_step(
             cfg, params, optimizer, self.mesh,
             ce_chunk_size=args.ce_chunk_size,
+            sp_attention=args.sp_attention,
+            ring_layout=args.ring_layout,
         )
+        self.sp_plan = None
+        if args.sp_attention and args.sp * args.su > 1:
+            from vila_tpu.parallel.sp import SPConfig
+
+            self.sp_plan = SPConfig(
+                mesh=self.mesh, ring_layout=args.ring_layout
+            )
         self.dataset = dataset
         self.collator = collator
         self.ckpt = CheckpointManager(
@@ -150,6 +167,10 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _put(self, batch: Dict[str, np.ndarray]):
+        if self.sp_plan is not None:
+            from vila_tpu.parallel.sp import zigzag_batch
+
+            batch = zigzag_batch(batch, self.sp_plan)
         out = {}
         for k, v in batch.items():
             sh = self.batch_shardings.get(k)
@@ -176,6 +197,7 @@ class Trainer:
         )
         t0 = time.time()
         tokens_seen = 0
+        pending_tokens: list = []
         profiling = None
         for step in range(self.start_step, args.max_steps):
             if step == args.profile_step:
@@ -194,9 +216,13 @@ class Trainer:
                 )
                 profiling.__exit__(None, None, None)
                 profiling = None
+            # accumulate without a host sync; convert only on log steps
+            pending_tokens.append(metrics.get("n_tokens", 0))
             if (step + 1) % args.logging_steps == 0 or step == self.start_step:
                 m = {k: float(v) for k, v in metrics.items()}
-                tokens_seen += int(m.get("n_tokens", 0)) * args.logging_steps
+                tokens_seen += int(sum(int(t) for t in pending_tokens))
+                pending_tokens.clear()
+                m["tokens_seen"] = tokens_seen
                 m.update(step=step + 1, elapsed_s=round(time.time() - t0, 1))
                 self.log_history.append(m)
                 mlog.log(m, step=step + 1)
