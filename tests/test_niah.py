@@ -66,3 +66,32 @@ def test_splice_needle_positions(llm):
     seq, pos = niah.splice_needle(hs, nd, 0.5)
     assert seq.shape[0] == 110 and pos == 50
     np.testing.assert_array_equal(np.asarray(seq[50:60]), np.asarray(nd))
+
+
+def test_niah_long_forward_bounded_memory():
+    """LongVILA regime smoke: a 65,536-token causal forward on the
+    8-device ring mesh completes on CPU. The 8,192-token local shards
+    exceed the chunking threshold, so every ring step runs the flash-style
+    scan-chunked XLA attention — the same memory-bounded path a 1M-token
+    forward uses (dense scores at 64k would already need 17 GB per head
+    pair). Set NIAH_TEST_CTX=262144 for the full ≥256k check (~45 min on a
+    single CPU core — the compute is real; memory stays bounded). Mirrors
+    the reference's 1M-ctx NIAH inference (eval_vision_niah.py) at
+    CPU-test scale."""
+    cfg = qwen2.LLMConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        dtype="float32", max_position_embeddings=1 << 20,
+    )
+    params = qwen2.init_params(jax.random.PRNGKey(0), cfg)
+    s = int(os.environ.get("NIAH_TEST_CTX", 65536))
+    rng = np.random.default_rng(0)
+    embeds = jnp.asarray(
+        rng.normal(size=(1, s, 16)).astype(np.float32) * 0.02
+    )
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs.reshape(8), ("sp",))
+    logits = niah.forward_embeds_sharded(params, cfg, embeds, mesh)
+    assert logits.shape == (1, s, 64)
+    tail = np.asarray(logits[0, -4:])
+    assert np.isfinite(tail).all()

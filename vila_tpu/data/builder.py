@@ -41,6 +41,23 @@ def _dummy_ctor(**kw):
     return DummyDataset(**kw)
 
 
+def _impl(name: str) -> Callable:
+    """Constructor from the dataset_impl zoo; `data_path` loads the record
+    list, `shards` wires a webdataset adapter instead."""
+
+    def ctor(tokenizer=None, cfg=None, data_path=None, shards=None, **kw):
+        from vila_tpu.data import dataset_impl as zoo
+
+        cls = getattr(zoo, name)
+        if shards is not None:
+            records: Any = zoo.WDSRecordAdapter(shards)
+        else:
+            records = zoo.load_records(data_path)
+        return cls(tokenizer, cfg, records, **kw)
+
+    return ctor
+
+
 DATASET_TYPES: Dict[str, Callable] = {
     "supervised": BaseDataset,
     # pretraining corpus styles (llava/data/dataset.py:553,770,929)
@@ -49,6 +66,16 @@ DATASET_TYPES: Dict[str, Callable] = {
     "webdataset": _lazy("WebDatasetSupervised"),
     # synthetic smoke/debug data (llava/data/dataset_impl/dummy.py)
     "dummy": _dummy_ctor,
+    # dataset_impl zoo (llava/data/dataset_impl/*.py)
+    "coyo_qa": _impl("CoyoQADataset"),
+    "coyo_recap": _impl("CoyoRecapDataset"),
+    "general_img_text": _impl("GeneralImageTextDataset"),
+    "sam": _impl("SAMCaptionDataset"),
+    "textocr": _impl("TextOCRDataset"),
+    "hiertext": _impl("HierTextDataset"),
+    "panda70m": _impl("Panda70MDataset"),
+    "lita": _impl("LITADataset"),
+    "llava_cot": _impl("LLaVACoTDataset"),
 }
 
 DATASETS: Dict[str, Any] = {}

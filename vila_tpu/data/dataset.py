@@ -97,10 +97,14 @@ class BaseDataset:
     def __len__(self) -> int:
         return len(self.instances)
 
-    def _media_path(self, name: str) -> str:
-        if self.media_dir and not os.path.isabs(name):
+    def _media_path(self, name):
+        if (
+            isinstance(name, str)
+            and self.media_dir
+            and not os.path.isabs(name)
+        ):
             return os.path.join(self.media_dir, name)
-        return name
+        return name  # in-memory PIL/ndarray (webdataset records) pass through
 
     def process(self, instance: Dict[str, Any]) -> Dict[str, Any]:
         cfg = self.cfg

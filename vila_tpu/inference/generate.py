@@ -206,6 +206,40 @@ class GenerationEngine:
         return encode_tsp
 
     @functools.cached_property
+    def _encode_ps3(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("num_look_close",))
+        def encode_ps3(params, low, highs, prompt, num_look_close):
+            feats, _, _ = vlm.encode_images_ps3(
+                params, cfg, low, list(highs) if highs else None,
+                prompt=prompt, num_look_close=num_look_close,
+            )
+            return feats.reshape(-1, feats.shape[-1])
+
+        return encode_ps3
+
+    @functools.cached_property
+    def _prompt_hidden(self):
+        """LLM hidden state at the end of the user prompt — the top-down
+        prompt of the PS3 two-pass generate (llava_arch.py:1640-1652)."""
+        cfg = self.cfg
+
+        @jax.jit
+        def prompt_hidden(params, ids, media_embeds, media_pos, last):
+            embeds = qwen2.embed_tokens(params["llm"], cfg.llm, ids)
+            embeds = vlm.splice_media(embeds, media_embeds, media_pos)
+            h, _ = qwen2.forward(
+                params["llm"], cfg.llm,
+                inputs_embeds=embeds,
+                gather_position=last,
+                return_hidden=True,
+            )
+            return h[:, 0]  # (B, llm_hidden)
+
+        return prompt_hidden
+
+    @functools.cached_property
     def _prefill(self):
         cfg = self.cfg
 
@@ -231,7 +265,7 @@ class GenerationEngine:
 
         @functools.partial(
             jax.jit,
-            static_argnames=("steps", "do_sample", "temperature", "top_p", "top_k"),
+            static_argnames=("steps", "do_sample"),
             donate_argnums=(2,),
         )
         def decode(params, tok, cache, positions, rng, steps, do_sample,
@@ -288,6 +322,25 @@ class GenerationEngine:
 
         def process_image(img) -> str:
             """Appends entry/token-counts; returns replacement marker text."""
+            if cfg.vision_tower_type == "ps3":
+                # PS3/VILA-HD: one low-res view + full-res views per scale;
+                # the device selects K high-res patches (models/ps3.py).
+                pil = preprocess.load_image(img)
+                views = []
+                for scale in cfg.vision.s3_scales:
+                    tiles, _ = preprocess.process_image(
+                        pil, image_size=scale, image_aspect_ratio="resize"
+                    )
+                    views.append(tiles[0])
+                tokens_per_marker.append(cfg.tokens_per_image)
+                entries.append(
+                    {
+                        "kind": "ps3",
+                        "tiles": views[0][None],
+                        "tiles_high": [v[None] for v in views[1:]],
+                    }
+                )
+                return MEDIA_TOKENS["image"]
             if use_dynamic and aspect == "dynamic":
                 tiles, _ = preprocess.process_image(
                     img,
@@ -389,12 +442,46 @@ class GenerationEngine:
         expanded, media_pos = expand_media_tokens(
             ids, self.image_token_id, tokens_per_marker, self._newline_ids
         )
-        return {"input_ids": expanded, "media_pos": media_pos, "media": entries}
+        out = {"input_ids": expanded, "media_pos": media_pos, "media": entries}
+        if (
+            cfg.vision_tower_type == "ps3"
+            and cfg.ps3_look_close_mode == "after_prompt"
+            and entries
+        ):
+            # pass-1 expansion: each image marker spans only the low-res
+            # tokens (num_look_close == 0 view) for the prompt-producing
+            # forward (llava_arch.py:1611-1652).
+            low_ids, low_pos = expand_media_tokens(
+                ids, self.image_token_id,
+                [cfg.ps3_tokens_low] * len(tokens_per_marker),
+                self._newline_ids,
+            )
+            out["ps3_low"] = {"input_ids": low_ids, "media_pos": low_pos}
+        return out
 
-    def encode_media(self, entries: List[Dict[str, Any]]) -> Optional[jnp.ndarray]:
+    def encode_media(
+        self,
+        entries: List[Dict[str, Any]],
+        ps3_prompt: Optional[jnp.ndarray] = None,
+        ps3_num_look_close: Optional[int] = None,
+    ) -> Optional[jnp.ndarray]:
         """Encode media entries to a flat (M, D) embedding matrix."""
         if not entries:
             return None
+        if any(e["kind"] == "ps3" for e in entries):
+            parts = []
+            for e in entries:
+                assert e["kind"] == "ps3", "PS3 towers take only PS3 media"
+                parts.append(
+                    self._encode_ps3(
+                        self.params,
+                        jnp.asarray(e["tiles"]),
+                        tuple(jnp.asarray(h) for h in e["tiles_high"]),
+                        ps3_prompt,
+                        ps3_num_look_close,
+                    )
+                )
+            return jnp.concatenate(parts)
         if all(e["kind"] == "plain" for e in entries):
             tiles = np.concatenate([e["tiles"] for e in entries])
             n = tiles.shape[0]
@@ -462,7 +549,12 @@ class GenerationEngine:
         valid = np.zeros((1, s_pad), bool)
         valid[0, :prompt_len] = True
 
-        media_embeds = self.encode_media(inputs["media"])
+        ps3_prompt = None
+        if inputs.get("ps3_low") is not None:
+            ps3_prompt = self._ps3_top_down_prompt(inputs)
+        media_embeds = self.encode_media(
+            inputs["media"], ps3_prompt=ps3_prompt
+        )
         if media_embeds is None:
             media_embeds = jnp.zeros((8, cfg.llm.hidden_size), cfg.llm.compute_dtype)
         mp = np.full((media_embeds.shape[0],), 1 << 30, np.int32)
@@ -513,6 +605,24 @@ class GenerationEngine:
             steps_left -= steps
             if int(positions[0]) >= cache["k"].shape[2]:
                 return
+
+    def _ps3_top_down_prompt(self, inputs: Dict[str, Any]) -> jnp.ndarray:
+        """PS3 pass 1: encode low-res only, run the LLM over the user
+        prompt, and return the hidden state at its end — the top-down
+        prompt steering high-res selection in pass 2 (the reference's
+        `get_top_down_prompts_only` forward, llava_arch.py:1640-1652;
+        `get_user_prompt_end_id_pos` == the generation-prompt end here).
+        """
+        low = inputs["ps3_low"]
+        low_embeds = self.encode_media(
+            inputs["media"], ps3_num_look_close=0
+        )
+        ids = np.asarray(low["input_ids"], np.int32)[None]
+        mp = np.asarray(low["media_pos"], np.int32)
+        last = jnp.asarray([ids.shape[1] - 1], jnp.int32)
+        return self._prompt_hidden(
+            self.params, jnp.asarray(ids), low_embeds, jnp.asarray(mp), last
+        )
 
     @functools.cached_property
     def _decode_one(self):
@@ -595,25 +705,51 @@ def sample_token(
     logits: jnp.ndarray,  # (B, V) float32
     rng: jax.Array,
     do_sample: bool,
-    temperature: float,
-    top_p: float,
-    top_k: int,
+    temperature,
+    top_p,
+    top_k,
 ) -> jnp.ndarray:
-    """Greedy or temperature/top-k/top-p sampling."""
-    if not do_sample or temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / temperature
-    if top_k > 0:
-        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
-    if top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # Keep tokens whose cumulative prob (exclusive) < top_p.
-        keep = cum - probs < top_p
-        threshold = jnp.min(
-            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
-        )
-        logits = jnp.where(logits < threshold, -jnp.inf, logits)
-    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+    """Greedy or temperature/top-k/top-p sampling.
+
+    Only `do_sample` is trace-static; temperature/top_p/top_k are DYNAMIC
+    scalars so a server sweeping sampling configs reuses one compiled decode
+    step instead of compiling per value. temperature <= 0 degrades to
+    greedy at runtime.
+    """
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if not do_sample:
+        return greedy
+
+    v = logits.shape[-1]
+    t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+    l = logits.astype(jnp.float32) / t
+
+    # top-k via the k-th order statistic of the sorted logits (dynamic k)
+    k = jnp.clip(jnp.asarray(top_k, jnp.int32), 0, v)
+    sorted_desc = jnp.sort(l, axis=-1)[..., ::-1]
+    kth = jnp.take_along_axis(
+        sorted_desc,
+        jnp.broadcast_to(
+            jnp.maximum(k, 1) - 1, l.shape[:-1] + (1,)
+        ),
+        axis=-1,
+    )
+    l = jnp.where((k > 0) & (l < kth), -jnp.inf, l)
+
+    # top-p over the (possibly top-k-filtered) distribution
+    sorted2 = jnp.sort(l, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted2, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # Keep tokens whose cumulative prob (exclusive) < top_p; the best token
+    # always survives.
+    keep = cum - probs < jnp.asarray(top_p, jnp.float32)
+    keep = keep.at[..., 0].set(True)
+    threshold = jnp.min(
+        jnp.where(keep, sorted2, jnp.inf), axis=-1, keepdims=True
+    )
+    l = jnp.where(l < threshold, -jnp.inf, l)
+
+    sampled = jax.random.categorical(rng, l, axis=-1).astype(jnp.int32)
+    return jnp.where(
+        jnp.asarray(temperature, jnp.float32) <= 0.0, greedy, sampled
+    )

@@ -145,39 +145,43 @@ def resize_position_embedding(pos_embed: jnp.ndarray, num_new: int) -> jnp.ndarr
     ).astype(pos_embed.dtype)
 
 
-def forward(
-    params: Params,
-    cfg: SigLIPConfig,
-    pixel_values: jnp.ndarray,  # (B, H, W, C) normalized
-    *,
-    feature_layer: int = -2,
-    select: str = "cls_patch",
-    attn_impl: str = "auto",
+def embed_pixels(
+    params: Params, cfg: SigLIPConfig, pixel_values: jnp.ndarray
 ) -> jnp.ndarray:
-    """Run the tower up to `feature_layer`, return selected patch features.
+    """(B, H, W, C) pixels -> (B, N, D) patch embeddings + position embeds.
 
-    feature_layer follows HF hidden_states indexing: -1 == after last layer,
-    -2 == after layer L-1, 0 == embeddings. post_layernorm is only applied
-    when running the full depth (feature_layer == -1), matching HF where the
-    intermediate hidden states are pre-norm.
-    """
+    uint8 input is rescaled/normalized on-device (the processor math fuses
+    into the patch GEMM); position embeddings resize for off-native
+    resolutions (vision_encoder.py:54-131)."""
     dtype = cfg.compute_dtype
-    L = cfg.num_hidden_layers
-    n_run = feature_layer + L + 1 if feature_layer < 0 else feature_layer
-    assert 0 <= n_run <= L, f"feature_layer {feature_layer} out of range"
-
     if pixel_values.dtype == jnp.uint8:
-        # Host ships raw uint8; rescale+normalize fuse into the patch GEMM.
         mean = jnp.asarray(cfg.image_mean, dtype) * 255.0
         std = jnp.asarray(cfg.image_std, dtype) * 255.0
         pixel_values = (pixel_values.astype(dtype) - mean) / std
-
     x = patchify(pixel_values.astype(dtype), cfg.patch_size)
     h = _linear(x, params["patch_embedding"], dtype)
     pos = params["position_embedding"]["embedding"]
     if pos.shape[0] != h.shape[1]:
         pos = resize_position_embedding(pos, h.shape[1])
-    h = h + pos.astype(dtype)[None]
+    return h + pos.astype(dtype)[None]
+
+
+def encode_tokens(
+    params: Params,
+    cfg: SigLIPConfig,
+    h: jnp.ndarray,  # (B, S, D) embedded tokens (any composition)
+    *,
+    feature_layer: int = -2,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """Run the encoder trunk over an arbitrary token sequence up to
+    `feature_layer`. Token-level entry point shared by the plain tower,
+    S2, and the PS3 selective tower (which mixes low-res and selected
+    high-res tokens in one sequence)."""
+    dtype = cfg.compute_dtype
+    L = cfg.num_hidden_layers
+    n_run = feature_layer + L + 1 if feature_layer < 0 else feature_layer
+    assert 0 <= n_run <= L, f"feature_layer {feature_layer} out of range"
 
     b, s, d = h.shape
     nh, hd = cfg.num_attention_heads, cfg.head_dim
@@ -212,6 +216,29 @@ def forward(
             params["post_layernorm"]["bias"],
             cfg.layer_norm_eps,
         )
+    return h
+
+
+def forward(
+    params: Params,
+    cfg: SigLIPConfig,
+    pixel_values: jnp.ndarray,  # (B, H, W, C) normalized
+    *,
+    feature_layer: int = -2,
+    select: str = "cls_patch",
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """Run the tower up to `feature_layer`, return selected patch features.
+
+    feature_layer follows HF hidden_states indexing: -1 == after last layer,
+    -2 == after layer L-1, 0 == embeddings. post_layernorm is only applied
+    when running the full depth (feature_layer == -1), matching HF where the
+    intermediate hidden states are pre-norm.
+    """
+    h = embed_pixels(params, cfg, pixel_values)
+    h = encode_tokens(
+        params, cfg, h, feature_layer=feature_layer, attn_impl=attn_impl
+    )
 
     if select == "patch":
         # SigLIP has no CLS token; `patch` mode drops the first token to

@@ -33,8 +33,13 @@ class VLMConfig:
     vision: Any  # SigLIPConfig | vit.ViTConfig (see vision_tower_type)
     projector: projector_lib.ProjectorConfig
     # tower dispatch (build_vision_tower, multimodal_encoder/builder.py:30):
-    # "siglip" (default) | "clip" | "internvit"
+    # "siglip" (default) | "clip" | "internvit" | "ps3" (VILA-HD top-down
+    # selection; cfg.vision is then a ps3.PS3Config)
     vision_tower_type: str = "siglip"
+    # PS3 look-close mode (llava_arch.py:1627): "after_image" selects
+    # bottom-up; "after_prompt" runs the two-pass top-down generation (a
+    # low-res pass produces the prompt embedding that steers selection)
+    ps3_look_close_mode: str = "after_image"
     vision_feature_layer: int = -2
     vision_select: str = "cls_patch"
     image_aspect_ratio: str = "resize"  # resize | pad | crop | dynamic | dynamic_s2
@@ -57,17 +62,34 @@ class VLMConfig:
     @property
     def tokens_per_image(self) -> int:
         """LLM tokens contributed by one vision-tower forward of one tile."""
+        if self.vision_tower_type == "ps3":
+            assert self.projector.downsample_rate == 1, (
+                "PS3 output mixes grid and selected tokens; use a "
+                "non-downsampling projector (linear / mlpNx_gelu)"
+            )
+            return self.vision.n_output_tokens
         side = self.vision.image_size // self.vision.patch_size
         r = self.projector.downsample_rate
         return ((side + r - 1) // r) ** 2
 
+    @property
+    def ps3_tokens_low(self) -> int:
+        """Tokens of the PS3 low-res-only pass (num_look_close == 0)."""
+        return self.vision.low_grid**2
+
 
 def vision_module(cfg: VLMConfig):
     """Tower dispatch (multimodal_encoder/builder.py:30-68)."""
-    if cfg.vision_tower_type in ("clip", "internvit"):
+    if cfg.vision_tower_type in ("clip", "internvit", "radio"):
+        # RADIO's backbone is a plain ViT (radio_encoder.py wraps NVIDIA's
+        # torchhub model); the generic tower serves it on TPU.
         from vila_tpu.models import vit
 
         return vit
+    if cfg.vision_tower_type == "ps3":
+        from vila_tpu.models import ps3
+
+        return ps3
     return siglip
 
 
@@ -88,8 +110,10 @@ def encode_images(
     """(N, H, W, 3) normalized pixels -> (N, tokens_per_image, llm_hidden).
 
     Mirrors `encode_images` (llava_arch.py:366) for the non-S2 path; the
-    dynamic-S2 path lives in vila_tpu.models.s2.
+    dynamic-S2 path lives in vila_tpu.models.s2, PS3 in encode_images_ps3.
     """
+    if cfg.vision_tower_type == "ps3":
+        raise ValueError("PS3 towers use encode_images_ps3 (two pixel scales)")
     feats = vision_module(cfg).forward(
         params["vision_tower"],
         cfg.vision,
@@ -98,6 +122,38 @@ def encode_images(
         select=cfg.vision_select,
     )
     return projector_lib.forward(params["mm_projector"], cfg.projector, feats)
+
+
+def encode_images_ps3(
+    params: Params,
+    cfg: VLMConfig,
+    pixels_low: jnp.ndarray,  # (N, s0, s0, 3)
+    pixels_high: Optional[Any] = None,  # (N, s1, s1, 3) or list per hi scale
+    *,
+    prompt: Optional[jnp.ndarray] = None,  # (N, llm_hidden) top-down prompt
+    num_look_close: Optional[int] = None,
+    gt_selection_maps: Optional[jnp.ndarray] = None,
+    smooth_selection_prob: bool = False,
+):
+    """PS3 selective encode + projection (encode_images_ps3,
+    llava_arch.py:967). Returns (proj_feats, selection_probs, maps)."""
+    from vila_tpu.models import ps3 as ps3_lib
+
+    if pixels_high is not None and not isinstance(pixels_high, (list, tuple)):
+        pixels_high = [pixels_high]
+    feats, probs, maps = ps3_lib.forward(
+        params["vision_tower"],
+        cfg.vision,
+        pixels_low,
+        pixels_high,
+        prompt=prompt,
+        num_look_close=num_look_close,
+        gt_selection_maps=gt_selection_maps,
+        smooth_selection_prob=smooth_selection_prob,
+        feature_layer=cfg.vision_feature_layer,
+    )
+    proj = projector_lib.forward(params["mm_projector"], cfg.projector, feats)
+    return proj, probs, maps
 
 
 def splice_media(
@@ -176,6 +232,13 @@ def forward_batch(
     b, s = input_ids.shape
     embeds = qwen2.embed_tokens(params["llm"], cfg.llm, input_ids)
 
+    if cfg.vision_tower_type == "ps3":
+        out, _ = forward_batch_ps3(
+            params, cfg, batch, embeds=embeds,
+            attn_impl=attn_impl, return_hidden=return_hidden, sp=sp,
+        )
+        return out
+
     pixels = batch.get("pixel_values")
     if pixels is not None:
         bt = pixels.shape[0] * pixels.shape[1]
@@ -202,3 +265,70 @@ def forward_batch(
         sp=sp,
     )
     return out
+
+
+def forward_batch_ps3(
+    params: Params,
+    cfg: VLMConfig,
+    batch: Dict[str, jnp.ndarray],
+    *,
+    embeds: Optional[jnp.ndarray] = None,
+    attn_impl: str = "auto",
+    return_hidden: bool = False,
+    sp: Optional[Any] = None,
+    num_look_close: Optional[int] = None,
+) -> Tuple[jnp.ndarray, list]:
+    """PS3 training forward: bottom-up look-close selection (the
+    reference's `look_close_mode="after_image"` training path,
+    llava_trainer.py:917-998). Returns (logits_or_hidden, selection_probs)
+    so the trainer can add the BCE+dice token-selection loss.
+
+    Extra batch keys vs forward_batch:
+      pixel_values_high: (B, T, s1, s1, 3) per hi scale (or a list)
+      gt_selection_maps: (B, T, gh, gw) binary, optional
+    """
+    input_ids = batch["input_ids"]
+    b, s = input_ids.shape
+    if embeds is None:
+        embeds = qwen2.embed_tokens(params["llm"], cfg.llm, input_ids)
+
+    sel_probs: list = []
+    pixels = batch.get("pixel_values")
+    if pixels is not None:
+        bt = pixels.shape[0] * pixels.shape[1]
+        low = pixels.reshape((bt,) + pixels.shape[2:])
+        high = batch.get("pixel_values_high")
+        if high is not None and not isinstance(high, (list, tuple)):
+            high = [high]
+        if high is not None:
+            high = [h.reshape((bt,) + h.shape[2:]) for h in high]
+        gt = batch.get("gt_selection_maps")
+        if gt is not None:
+            gt = gt.reshape((bt,) + gt.shape[2:])
+        feats, sel_probs, _ = encode_images_ps3(
+            params, cfg, low, high,
+            gt_selection_maps=gt,
+            num_look_close=num_look_close,
+            smooth_selection_prob=False,
+        )
+        feats = feats.reshape(b, -1, feats.shape[-1])
+        mp = batch["media_positions"]
+        offsets = (jnp.arange(b, dtype=mp.dtype) * s)[:, None]
+        global_pos = jnp.where(
+            mp < s, mp + offsets, jnp.asarray(1 << 30, mp.dtype)
+        )
+        embeds = splice_media(
+            embeds, feats.reshape(-1, feats.shape[-1]), global_pos.reshape(-1)
+        )
+
+    out, _ = qwen2.forward(
+        params["llm"],
+        cfg.llm,
+        inputs_embeds=embeds,
+        positions=batch.get("positions"),
+        segment_ids=batch.get("segment_ids"),
+        attn_impl=attn_impl,
+        return_hidden=return_hidden,
+        sp=sp,
+    )
+    return out, sel_probs

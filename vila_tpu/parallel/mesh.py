@@ -158,9 +158,25 @@ def projector_param_specs(proj_params, mesh: Mesh) -> Dict[str, Any]:
 
 def vlm_param_specs(cfg, params, mesh: Mesh) -> Dict[str, Any]:
     """Spec tree for a full VLM param pytree (vlm.init_params layout)."""
+    if getattr(cfg, "vision_tower_type", "siglip") == "ps3":
+        import dataclasses
+
+        vit_cfg = dataclasses.replace(
+            cfg.vision.vit, image_size=cfg.vision.s3_scales[0]
+        )
+        vision = {
+            "vit": siglip_param_specs(vit_cfg, mesh),
+            # selection heads / scale embeds are tiny — replicate
+            "scale_embedding": P(),
+            "select_head": {"kernel": P(), "bias": P()},
+        }
+        if "top_down_prompt_head" in params["vision_tower"]:
+            vision["top_down_prompt_head"] = {"kernel": P(), "bias": P()}
+    else:
+        vision = siglip_param_specs(cfg.vision, mesh)
     return {
         "llm": llm_param_specs(cfg.llm, mesh),
-        "vision_tower": siglip_param_specs(cfg.vision, mesh),
+        "vision_tower": vision,
         "mm_projector": projector_param_specs(params["mm_projector"], mesh),
     }
 
@@ -186,5 +202,7 @@ def batch_specs(mesh: Mesh) -> Dict[str, P]:
         "positions": P("dp", SEQ),
         "segment_ids": P("dp", SEQ),
         "pixel_values": P("dp"),
+        "pixel_values_high": P("dp"),  # PS3 high-res scale
+        "gt_selection_maps": P("dp"),  # PS3 selection supervision
         "media_positions": P("dp"),
     }

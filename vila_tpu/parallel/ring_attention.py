@@ -46,6 +46,13 @@ def _resolve_impl(impl: str) -> str:
         return "xla"
 
 
+# KV lengths above this use the scan-chunked XLA path so the (Sq, Skv)
+# scores tensor never materializes (long-context CPU fallback; the Pallas
+# kernel already streams blocks on TPU).
+_XLA_CHUNK_THRESHOLD = 4096
+_XLA_KV_CHUNK = 2048
+
+
 def _local_attention_with_lse(
     q, k, v, *, causal: bool,
     q_segment_ids=None, kv_segment_ids=None,
@@ -61,6 +68,12 @@ def _local_attention_with_lse(
             q, k, v, causal=causal,
             q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
             scale=scale, return_lse=True,
+        )
+    if k.shape[1] > _XLA_CHUNK_THRESHOLD:
+        return _chunked_attention_with_lse(
+            q, k, v, causal=causal,
+            q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+            scale=scale,
         )
 
     # XLA reference with explicit LSE (float32).
@@ -87,6 +100,84 @@ def _local_attention_with_lse(
     lse = lse.reshape(b, hq, sq)
     lse = jnp.where(lse <= _NEG_INF / 2, _NEG_INF, lse)
     return out, lse
+
+
+def _chunked_attention_with_lse(
+    q, k, v, *, causal: bool,
+    q_segment_ids=None, kv_segment_ids=None,
+    scale: Optional[float] = None,
+    chunk: int = _XLA_KV_CHUNK,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flash attention expressed in XLA: lax.scan over KV chunks with the
+    online LSE merge, so peak memory is O(Sq · chunk) instead of
+    O(Sq · Skv). Matches `_local_attention_with_lse` exactly (same masks,
+    float32 statistics); used for long local shards on backends without the
+    Pallas kernel."""
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    g = hq // hkv
+    if scale is None:
+        scale = d**-0.5
+
+    pad = (-skv) % chunk
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        if kv_segment_ids is not None:
+            kv_segment_ids = jnp.pad(
+                kv_segment_ids, ((0, 0), (0, pad)), constant_values=-1
+            )
+    nc = (skv + pad) // chunk
+
+    qf = (q.astype(jnp.float32) * scale).reshape(b, sq, hkv, g, d)
+    kc = k.reshape(b, nc, chunk, hkv, d).transpose(1, 0, 2, 3, 4)
+    vc = v.reshape(b, nc, chunk, hkv, d).transpose(1, 0, 2, 3, 4)
+    segc = (
+        kv_segment_ids.reshape(b, nc, chunk).transpose(1, 0, 2)
+        if kv_segment_ids is not None
+        else jnp.zeros((nc, b, 0), jnp.int32)
+    )
+    rows = jnp.arange(sq, dtype=jnp.int32)
+
+    out0 = jnp.zeros((b, sq, hq, d), jnp.float32)
+    lse0 = jnp.full((b, hq, sq), _NEG_INF, jnp.float32)
+
+    def body(carry, xs):
+        out_acc, lse_acc = carry
+        idx, ki, vi, si = xs
+        cols = idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        scores = jnp.einsum(
+            "bqhgd,bkhd->bhgqk", qf, ki.astype(jnp.float32)
+        )
+        mask = jnp.broadcast_to(
+            (cols < skv)[None, None, :], (b, sq, chunk)
+        )
+        if causal:
+            mask = jnp.logical_and(
+                mask, rows[None, :, None] >= cols[None, None, :]
+            )
+        if kv_segment_ids is not None:
+            mask = jnp.logical_and(
+                mask, q_segment_ids[:, :, None] == si[:, None, :]
+            )
+        scores = jnp.where(mask[:, None, None], scores, _NEG_INF)
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), _NEG_INF)
+        p = jnp.exp(scores - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.einsum(
+            "bhgqk,bkhd->bqhgd", p / jnp.maximum(l, 1e-30),
+            vi.astype(jnp.float32),
+        ).reshape(b, sq, hq, d)
+        lse = (m + jnp.log(jnp.maximum(l, 1e-30)))[..., 0].reshape(b, hq, sq)
+        lse = jnp.where(lse <= _NEG_INF / 2, _NEG_INF, lse)
+        out_acc, lse_acc = _merge(out_acc, lse_acc, o, lse)
+        return (out_acc, lse_acc), None
+
+    (out, lse), _ = jax.lax.scan(
+        body, (out0, lse0),
+        (jnp.arange(nc, dtype=jnp.int32), kc, vc, segc),
+    )
+    return out.astype(q.dtype), lse
 
 
 def _local_mask(sq, skv, causal, q_segment_ids, kv_segment_ids):

@@ -148,3 +148,38 @@ def soft_cross_entropy(
     valid = is_soft & (targets != ignore_index)
     nll = jnp.where(valid, nll, 0.0)
     return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def dice_loss(probs: jnp.ndarray, targets: jnp.ndarray, eps: float = 1e-6):
+    """DICE loss over (N, H·W) flattened maps
+    (LLaVATopDownTrainer.dice_loss, llava/train/llava_trainer.py:861-883)."""
+    p = probs.reshape(probs.shape[0], -1).astype(jnp.float32)
+    t = targets.reshape(targets.shape[0], -1).astype(jnp.float32)
+    num = 2.0 * (p * t).sum(-1)
+    den = p.sum(-1) + t.sum(-1)
+    return 1.0 - (num + eps) / (den + eps)
+
+
+def token_selection_loss(
+    selection_probs,  # list of (N, g, g) f32 per high-res scale
+    gt_selection_maps: jnp.ndarray,  # (N, H, W) binary; all-zero = no gt
+) -> jnp.ndarray:
+    """PS3 token-selection supervision: BCE + dice per scale, averaged over
+    scales; instances without a gt map (all-zero) are masked out
+    (LLaVATopDownTrainer.token_selection_loss, llava_trainer.py:885-915)."""
+    from vila_tpu.models.ps3 import _area_resize
+
+    gt_f = gt_selection_maps.astype(jnp.float32)
+    has_gt = (gt_f.sum(axis=(-1, -2)) > 0).astype(jnp.float32)  # (N,)
+    denom = jnp.maximum(has_gt.sum(), 1.0)
+
+    total = jnp.zeros((), jnp.float32)
+    for probs in selection_probs:
+        g = probs.shape[1]
+        gt = (_area_resize(gt_f, g, g) > 0).astype(jnp.float32)
+        p = jnp.clip(probs.astype(jnp.float32), 1e-6, 1.0 - 1e-6)
+        bce = -(gt * jnp.log(p) + (1.0 - gt) * jnp.log(1.0 - p))
+        bce = (bce.mean(axis=(-1, -2)) * has_gt).sum() / denom
+        dice = (dice_loss(p, gt) * has_gt).sum() / denom
+        total = total + bce + dice
+    return total / max(len(selection_probs), 1)

@@ -24,7 +24,12 @@ from vila_tpu.train.losses import causal_lm_loss, chunked_causal_lm_loss
 
 
 def loss_fn(
-    params, cfg, batch, ce_chunk_size: Optional[int] = None, sp=None
+    params,
+    cfg,
+    batch,
+    ce_chunk_size: Optional[int] = None,
+    sp=None,
+    token_selection_loss_weight: float = 1.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     # Under the zigzag ring layout, parallel.sp.zigzag_batch pre-shifted the
     # labels (array order is not causal order); skip the in-loss shift then.
@@ -32,21 +37,45 @@ def loss_fn(
         sp is not None
         and sp.layout_for(batch["input_ids"].shape[1]) == "zigzag"
     )
+    ps3 = cfg.vision_tower_type == "ps3"
+    sel_probs = []
     if ce_chunk_size:
         # Fused chunked CE: lm_head projection never materializes (B,S,V).
-        hidden = vlm.forward_batch(
-            params, cfg, batch, return_hidden=True, sp=sp
-        )
+        if ps3:
+            hidden, sel_probs = vlm.forward_batch_ps3(
+                params, cfg, batch, return_hidden=True, sp=sp
+            )
+        else:
+            hidden = vlm.forward_batch(
+                params, cfg, batch, return_hidden=True, sp=sp
+            )
         loss, n_tokens = chunked_causal_lm_loss(
             hidden, params["llm"], cfg.llm,
             batch["labels"], chunk_size=ce_chunk_size, shift=shift,
         )
     else:
-        logits = vlm.forward_batch(params, cfg, batch, sp=sp)
+        if ps3:
+            logits, sel_probs = vlm.forward_batch_ps3(
+                params, cfg, batch, sp=sp
+            )
+        else:
+            logits = vlm.forward_batch(params, cfg, batch, sp=sp)
         loss, n_tokens = causal_lm_loss(
             logits, batch["labels"], shift=shift
         )
-    return loss, {"loss": loss, "n_tokens": n_tokens}
+    metrics = {"loss": loss, "n_tokens": n_tokens}
+    if ps3 and sel_probs and batch.get("gt_selection_maps") is not None:
+        # PS3 top-down trainer: LM loss + weighted BCE+dice selection loss
+        # (LLaVATopDownTrainer.compute_loss, llava_trainer.py:917-998).
+        from vila_tpu.train.losses import token_selection_loss
+
+        gt = batch["gt_selection_maps"]
+        gt = gt.reshape((-1,) + gt.shape[2:])
+        sel = token_selection_loss(sel_probs, gt)
+        loss = loss + token_selection_loss_weight * sel
+        metrics["token_selection_loss"] = sel
+        metrics["loss"] = loss
+    return loss, metrics
 
 
 def train_step(

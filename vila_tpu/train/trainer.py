@@ -52,6 +52,11 @@ class TrainArgs:
     # of GSPMD-chosen collectives; zigzag = causal ring load balance
     sp_attention: bool = True
     ring_layout: str = "zigzag"
+    # multi-host: initialize jax.distributed (reads VILA_COORDINATOR /
+    # VILA_NUM_PROCESSES / VILA_PROCESS_ID or SLURM env); each host then
+    # loads a disjoint data shard and feeds its slice of the global batch
+    distributed: bool = False
+    batch_shuffle: bool = False  # LongVILA sampler batch-wise shuffle
     # optimizer / tuning
     learning_rate: float = 2e-5
     mm_projector_lr: Optional[float] = None
@@ -81,17 +86,43 @@ class TrainArgs:
 
 
 def _batch_iterator(
-    dataset, collator, batch_size: int, seed: int, start_step: int = 0
+    dataset,
+    collator,
+    batch_size: int,
+    seed: int,
+    start_step: int = 0,
+    *,
+    rank: int = 0,
+    world_size: int = 1,
+    sp_degree: int = 1,
+    batch_shuffle: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Deterministic shuffled epochs; skip-ahead for resume."""
-    n = len(dataset)
+    """Deterministic shuffled epochs via DistributedSampler: each data-
+    loading host draws a disjoint shard per epoch (reference:
+    VILADistributedSampler, llava_trainer.py:131-303); skip-ahead on resume.
+    `batch_size` is this host's LOCAL batch."""
+    from vila_tpu.data.sampler import DistributedSampler
+
+    sampler = DistributedSampler(
+        [len(dataset)],
+        rank=rank,
+        world_size=world_size,
+        sp_degree=sp_degree,
+        batch_size=batch_size,
+        seed=seed,
+        shuffle=True,
+        batch_shuffle=batch_shuffle,
+    )
     step = 0
     epoch = 0
     while True:
-        order = np.random.default_rng(seed + epoch).permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
+        sampler.set_epoch(epoch)
+        indices = list(sampler)
+        for i in range(0, len(indices) - batch_size + 1, batch_size):
             if step >= start_step:
-                yield collator([dataset[int(j)] for j in order[i : i + batch_size]])
+                yield collator(
+                    [dataset[int(j)] for j in indices[i : i + batch_size]]
+                )
             step += 1
         epoch += 1
 
@@ -107,6 +138,13 @@ class Trainer:
     ) -> None:
         self.cfg = cfg
         self.args = args
+        from vila_tpu.parallel import distributed as dist
+
+        if args.distributed:
+            dist.init_distributed()
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        self.is_primary = self.process_index == 0
         self.mesh = mesh_lib.make_mesh(
             dp=args.dp, sp=args.sp, su=args.su, tp=args.tp
         )
@@ -167,33 +205,54 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _put(self, batch: Dict[str, np.ndarray]):
+        from vila_tpu.parallel.distributed import host_local_batch
+
         if self.sp_plan is not None:
             from vila_tpu.parallel.sp import zigzag_batch
 
             batch = zigzag_batch(batch, self.sp_plan)
-        out = {}
-        for k, v in batch.items():
-            sh = self.batch_shardings.get(k)
-            out[k] = jax.device_put(v, sh) if sh is not None else v
-        return out
+        return host_local_batch(batch, self.batch_shardings)
 
     def _save(self, step: int):
+        # orbax save participates on every process; metadata is rank-0's
         self.ckpt.save(
             step,
             {"params": self.params, "opt_state": self.opt_state},
-            metadata={"step": step, "time": time.time()},
+            metadata=(
+                {"step": step, "time": time.time()}
+                if self.is_primary
+                else None
+            ),
         )
 
     def train(self) -> Dict[str, Any]:
         from vila_tpu.utils.profiling import MetricsLogger, trace
 
         args = self.args
+        # Hosts whose devices share one model replica (sp×su×tp spanning
+        # hosts) load identical data; disjoint host groups shard the data
+        # (reference: dp_rank = rank // sp, llava_trainer.py:170-177).
+        model_span = args.sp * args.su * args.tp
+        hosts_per_group = max(1, model_span // jax.local_device_count())
+        data_groups = max(1, self.process_count // hosts_per_group)
+        if args.per_device_batch_size % data_groups:
+            raise ValueError(
+                f"batch size {args.per_device_batch_size} must divide over "
+                f"{data_groups} data-loading host groups"
+            )
+        local_bs = args.per_device_batch_size // data_groups
         it = _batch_iterator(
-            self.dataset, self.collator, args.per_device_batch_size,
+            self.dataset, self.collator, local_bs,
             args.seed, self.start_step,
+            rank=self.process_index,
+            world_size=self.process_count,
+            sp_degree=hosts_per_group,
+            batch_shuffle=args.batch_shuffle,
         )
-        mlog = MetricsLogger(
-            args.output_dir, project=args.wandb_project or None
+        mlog = (
+            MetricsLogger(args.output_dir, project=args.wandb_project or None)
+            if self.is_primary
+            else None
         )
         t0 = time.time()
         tokens_seen = 0
@@ -225,8 +284,10 @@ class Trainer:
                 m["tokens_seen"] = tokens_seen
                 m.update(step=step + 1, elapsed_s=round(time.time() - t0, 1))
                 self.log_history.append(m)
-                mlog.log(m, step=step + 1)
-                print(f"[trainer] {json.dumps(m)}", flush=True)
+                if mlog is not None:
+                    mlog.log(m, step=step + 1)
+                if self.is_primary:
+                    print(f"[trainer] {json.dumps(m)}", flush=True)
             if (step + 1) % args.save_steps == 0:
                 self._save(step + 1)
             if self.guard.should_stop(step):
@@ -244,6 +305,8 @@ class Trainer:
         return {"final_step": args.max_steps, "log_history": self.log_history}
 
     def _dump_log_history(self):
+        if not self.is_primary:
+            return
         os.makedirs(self.args.output_dir, exist_ok=True)
         with open(
             os.path.join(self.args.output_dir, "log_history.json"), "w"
