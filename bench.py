@@ -234,6 +234,59 @@ def main():
 
     ttft = diff_time(ttft_run, 1, 6, params, ids, tiles, media_pos)
 
+    # ---------------- engine-level TTFT (host path included) ----------------
+    # Through the public GenerationEngine: PIL image -> preprocess ->
+    # tokenize -> bucket -> vision encode -> prefill -> first token. This is
+    # what a server actually pays per request (VERDICT round-1 ask).
+    engine_ttft_ms = None
+    try:
+        from PIL import Image as PILImage
+
+        from vila_tpu.data.tokenizer_utils import add_media_tokens
+        from vila_tpu.inference.generate import (
+            GenerationConfig, GenerationEngine,
+        )
+
+        tok = _tiny_tokenizer()
+        add_media_tokens(tok)
+        engine = GenerationEngine(params, cfg, tok)
+        img = PILImage.fromarray(
+            np.random.default_rng(0).integers(0, 255, (448, 448, 3), np.uint8)
+        )
+        gc = GenerationConfig(max_new_tokens=1)
+        prompt = [img, "describe this image in detail"]
+        # warm both host and device paths
+        for _ in range(2):
+            next(iter(engine.stream_ids(engine.prepare_inputs(prompt), gc)))
+        reps = 5
+        t0 = time.time()
+        for _ in range(reps):
+            next(iter(engine.stream_ids(engine.prepare_inputs(prompt), gc)))
+        engine_ttft_ms = (time.time() - t0) / reps * 1000
+    except Exception as e:  # engine bench is best-effort on the dev tunnel
+        engine_ttft_ms = f"failed: {type(e).__name__}: {e}"
+
+    # ---------------- roofline accounting ----------------
+    # Per decode step the chip must stream every weight byte once:
+    # int4 packed + bf16 scales + bf16 norms/embed row + KV-cache reads.
+    def slot_bytes(slot, lead):
+        b = slot["packed"].size + slot["scales"].size * 2
+        return b // L if lead else b
+
+    lp = params["llm"]["layers"]
+    per_layer = sum(
+        slot_bytes(lp[k], True)
+        for k in ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
+    ) + lp["qkv_proj"]["bias"].size * 2 // L
+    kv_bytes = 2 * cache_len * llm_cfg.num_key_value_heads * llm_cfg.head_dim_ * 2
+    step_bytes = (
+        per_layer * L
+        + slot_bytes(params["llm"]["lm_head"], False)
+        + kv_bytes * L
+    )
+    achieved_gbps = step_bytes / step_time / 1e9
+    v5e_peak_gbps = 819.0
+
     result = {
         "metric": "NVILA-8B-shape W4A16 decode throughput (bs=1, ctx 1280, v5e chip)",
         "value": round(decode_tps, 2),
@@ -242,10 +295,51 @@ def main():
         "ttft_ms": round(ttft * 1000, 2),
         "ttft_vs_baseline_ms": 45.2,
         "batched_bs8_tok_s_chip": round(decode_tps8, 1),
+        "engine_ttft_ms": (
+            round(engine_ttft_ms, 1)
+            if isinstance(engine_ttft_ms, float)
+            else engine_ttft_ms
+        ),
+        "decode_step_bytes_gb": round(step_bytes / 1e9, 2),
+        "achieved_gbps": round(achieved_gbps, 1),
+        "bandwidth_utilization": round(achieved_gbps / v5e_peak_gbps, 3),
         "notes": "baseline: NVILA-8B-TinyChat on A100 (186.8 tok/s, 45.2 ms TTFT); "
-        "synthetic W4 weights (perf-only); differential timing over chained jit scans",
+        "synthetic W4 weights (perf-only); differential timing over chained jit scans; "
+        "engine_ttft includes host preprocess+tokenize (dev-tunnel host xfer inflates it)",
     }
     print(json.dumps(result))
+
+
+def _tiny_tokenizer():
+    """Self-contained byte-level tokenizer for the engine-path bench (no
+    network; vocab ids stay inside the model's 152k range). Same recipe as
+    tests/helpers.make_tiny_tokenizer."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    alphabet = pre_tokenizers.ByteLevel.alphabet()
+    vocab = {ch: i for i, ch in enumerate(sorted(alphabet))}
+    for s in ("<|endoftext|>", "<|im_start|>", "<|im_end|>"):
+        vocab[s] = len(vocab)
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=[]))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        eos_token="<|im_end|>",
+        pad_token="<|endoftext|>",
+        additional_special_tokens=["<|im_start|>"],
+    )
+    fast.chat_template = (
+        "{% for message in messages %}"
+        "{{ '<|im_start|>' + message['role'] + '\n' + message['content'] "
+        "+ '<|im_end|>' + '\n' }}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}"
+        "{% endif %}"
+    )
+    fast.model_max_length = 4096
+    return fast
 
 
 if __name__ == "__main__":

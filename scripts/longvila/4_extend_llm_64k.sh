@@ -14,7 +14,8 @@ cfg = entry.build_config(model_path)
 params = entry.load_params(model_path, cfg)
 stream = np.load(tokens_npy)
 args = ContextExtendArgs(target_context=65536, rope_theta=15.3e6, steps=40,
-                         seq_len=65536)
+                         seq_len=65536, sp=4, su=2, ring_layout="zigzag",
+                         remat=True, ce_chunk_size=4096)
 merged, ext_cfg, losses = extend_llm(
     params["llm"], cfg.llm, chunk_text_dataset(stream, args.seq_len), args)
 params["llm"] = merged

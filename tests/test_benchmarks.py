@@ -157,3 +157,39 @@ def test_lmms_wrapper_generate_until(monkeypatch, tmp_path):
     assert out2 == ["a scene"]
     assert len(eng.prompts) == n_before
     assert any(f.endswith(".json") for f in os.listdir(tmp_path))
+
+
+def test_run_refcoco_iou():
+    ds = [{"image": None, "question": "find the dog",
+           "answer": [0.1, 0.1, 0.5, 0.5]}]
+    eng = FakeEngine({"find the dog": "The box is [0.1, 0.1, 0.5, 0.5]."})
+    out = B.run_benchmark(eng, "refcoco", ds)
+    assert out["metrics"]["refcoco/accuracy"] == 1.0
+    assert out["metrics"]["refcoco/mean_iou"] == pytest.approx(1.0)
+
+    eng = FakeEngine({"find the dog": "[0.6, 0.6, 0.9, 0.9]"})
+    out = B.run_benchmark(eng, "refcoco", ds)
+    assert out["metrics"]["refcoco/accuracy"] == 0.0
+
+
+def test_run_mathvista_numeric():
+    ds = [{"image": None, "question": "what is 2+2", "answer": 4}]
+    eng = FakeEngine({"2+2": "The answer is 4."})
+    out = B.run_benchmark(eng, "mathvista", ds)
+    assert out["metrics"]["mathvista/accuracy"] == 1.0
+    # MC records route through the scienceqa scorer
+    ds = [{"image": None, "question": "pick", "choices": ["1", "2"],
+           "answer": 1}]
+    eng = FakeEngine({"pick": "B"})
+    out = B.run_benchmark(eng, "mathvista", ds)
+    assert out["metrics"]["mathvista/accuracy"] == 1.0
+
+
+def test_box_and_number_parsers():
+    assert B.parse_box("no box here") is None
+    assert B.parse_box("at [0.2,0.3, 0.4 ,0.5] roughly") == [0.2, 0.3, 0.4, 0.5]
+    assert B.box_iou([0, 0, 1, 1], [0, 0, 1, 1]) == 1.0
+    assert B.box_iou([0, 0, 1, 1], [1, 1, 2, 2]) == 0.0
+    assert B.extract_number("first 3 then 4.5") == 4.5
+    assert B.extract_number("1,234 items") == 1234.0
+    assert B.extract_number("none") is None

@@ -150,3 +150,39 @@ def projector_cfg():
     return projector.ProjectorConfig(
         projector_type="mlp_downsample", mm_hidden_size=16, hidden_size=32
     )
+
+
+def test_longest_edge_mode():
+    """RADIO-style longest-edge resize + bottom-right pad
+    (multimodal_encoder/image_processor.py:219-285)."""
+    from PIL import Image as PILImage
+
+    from vila_tpu.data.preprocess import process_image
+
+    img = PILImage.fromarray(
+        np.full((50, 100, 3), 200, np.uint8)  # wide image
+    )
+    tiles, block = process_image(
+        img, image_size=64, image_aspect_ratio="longest_edge"
+    )
+    assert tiles.shape == (1, 64, 64, 3) and block is None
+    t = tiles[0]
+    assert t[:32, :64].mean() > 150  # content in the top-left
+    assert t[40:, :].max() == 0  # bottom padding
+
+
+def test_collator_ps3_extras():
+    from vila_tpu.data.collate import Collator
+
+    rng = np.random.default_rng(0)
+    ex = {
+        "input_ids": np.arange(6, dtype=np.int32),
+        "labels": np.arange(6, dtype=np.int32),
+        "tiles": rng.integers(0, 255, (1, 28, 28, 3)).astype(np.uint8),
+        "tiles_high": rng.integers(0, 255, (1, 56, 56, 3)).astype(np.uint8),
+        "gt_selection_map": np.ones((1, 4, 4), np.float32),
+        "media_positions": np.asarray([2], np.int32),
+    }
+    batch = Collator(seq_len=8)([ex, ex])
+    assert batch["pixel_values_high"].shape == (2, 1, 56, 56, 3)
+    assert batch["gt_selection_maps"].shape == (2, 1, 4, 4)

@@ -82,18 +82,22 @@ def main(argv=None) -> int:
     targs = TrainArgs(**kw)
 
     dataset = build_dataset(targs.data_mixture, tokenizer, cfg)
+    # zigzag ring layout needs S % (2 * sp * su) == 0
+    seq_mult = max(targs.sp * targs.su, 1)
+    if targs.sp_attention and targs.ring_layout == "zigzag" and targs.sp > 1:
+        seq_mult *= 2
     if targs.pack_rows > 0:
         collator = PackingCollator(
             seq_len=targs.seq_len, rows=targs.pack_rows,
             pad_token_id=tokenizer.pad_token_id or 0,
-            seq_multiple=max(targs.sp, 1),
+            seq_multiple=seq_mult,
             tile_size=cfg.vision.image_size,
         )
     else:
         collator = Collator(
             seq_len=targs.seq_len,
             pad_token_id=tokenizer.pad_token_id or 0,
-            seq_multiple=max(targs.sp, 1),
+            seq_multiple=seq_mult,
             tile_size=cfg.vision.image_size,
         )
     trainer = Trainer(cfg, params, dataset, collator, targs)

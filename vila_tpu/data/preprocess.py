@@ -179,6 +179,20 @@ def process_image(
             image, min_num=min_tiles, max_num=max_tiles, image_size=image_size
         )
         return to_uint8(tiles), None
+    if image_aspect_ratio == "longest_edge":
+        # RADIO-style processor (multimodal_encoder/image_processor.py:219
+        # `_get_preprocess_shape` + `pad_image`): resize the longest edge to
+        # image_size keeping aspect ratio, pad bottom-right to the square.
+        # Box/selection-map coordinates stay valid under the same scale
+        # (multiply normalized coords by scale = new/old — no crop/warp).
+        w, h = image.size
+        scale = image_size / max(w, h)
+        nw = max(int(w * scale + 0.5), 1)
+        nh = max(int(h * scale + 0.5), 1)
+        image = image.resize((nw, nh))
+        canvas = np.zeros((image_size, image_size, 3), np.uint8)
+        canvas[:nh, :nw] = np.asarray(image.convert("RGB"))
+        return canvas[None], None
     if image_aspect_ratio == "pad":
         bg = tuple(int(x * 255) for x in image_mean)
         image = expand2square(image, bg)

@@ -15,6 +15,11 @@ JSON/JSONL file in the benchmark's standard layout:
   pope       — binary yes/no object hallucination probe; reports accuracy,
                precision, recall, F1, yes-ratio.
   videomme   — video multiple choice (letter accuracy), VideoMME format.
+  refcoco    — referring-expression grounding; the model answers with a
+               [x0,y0,x1,y1] box (normalized), scored by IoU@0.5 accuracy
+               and mean IoU (llava/eval/refcoco.py semantics).
+  mathvista  — numeric/short answer extraction with relative-tolerance
+               match (llava/eval/mathvista.py + mathvista_utils).
 
 Dataset record formats (jsonl or json list):
   textvqa:   {"image": str, "question": str, "answers": [str x10]}
@@ -176,12 +181,79 @@ def _eval_videomme(engine, ex, gen, media_root):
     return pred, {"acc": float(letter == ex["answer"].strip().upper())}
 
 
+_BOX_RE = re.compile(
+    r"\[?\s*([0-9]*\.?[0-9]+)\s*,\s*([0-9]*\.?[0-9]+)\s*,"
+    r"\s*([0-9]*\.?[0-9]+)\s*,\s*([0-9]*\.?[0-9]+)\s*\]?"
+)
+
+
+def parse_box(pred: str) -> Optional[List[float]]:
+    m = _BOX_RE.search(pred)
+    if not m:
+        return None
+    box = [float(g) for g in m.groups()]
+    if max(box) > 2.0:  # pixel coords: caller normalizes via image size
+        return box
+    return box
+
+
+def box_iou(a: List[float], b: List[float]) -> float:
+    ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
+    ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(ix1 - ix0, 0.0) * max(iy1 - iy0, 0.0)
+    area_a = max(a[2] - a[0], 0.0) * max(a[3] - a[1], 0.0)
+    area_b = max(b[2] - b[0], 0.0) * max(b[3] - b[1], 0.0)
+    union = area_a + area_b - inter
+    return inter / union if union > 0 else 0.0
+
+
+def _eval_refcoco(engine, ex, gen, media_root):
+    pred = _generate(
+        engine, ex,
+        f"{ex['question']}\nAnswer with the bounding box "
+        "[x0,y0,x1,y1] in normalized coordinates.",
+        gen, media_root,
+    )
+    box = parse_box(pred)
+    gold = [float(v) for v in ex["answer"]]
+    iou = box_iou(box, gold) if box is not None else 0.0
+    return pred, {"acc": float(iou >= 0.5), "iou": iou}
+
+
+_NUM_RE = re.compile(r"-?\d+\.?\d*(?:e-?\d+)?")
+
+
+def extract_number(pred: str) -> Optional[float]:
+    """Last number in the answer (mathvista_utils extraction behavior —
+    models often restate the question's numbers first)."""
+    nums = _NUM_RE.findall(pred.replace(",", ""))
+    return float(nums[-1]) if nums else None
+
+
+def _eval_mathvista(engine, ex, gen, media_root):
+    if ex.get("choices"):
+        return _eval_scienceqa(engine, ex, gen, media_root)
+    pred = _generate(
+        engine, ex,
+        f"{ex['question']}\nAnswer with a number.",
+        gen, media_root,
+    )
+    n = extract_number(pred)
+    gold = float(ex["answer"])
+    ok = n is not None and (
+        abs(n - gold) <= 1e-3 * max(abs(gold), 1.0)
+    )
+    return pred, {"acc": float(ok)}
+
+
 TASKS: Dict[str, Callable] = {
     "textvqa": _eval_textvqa,
     "gqa": _eval_gqa,
     "scienceqa": _eval_scienceqa,
     "pope": _eval_pope,
     "videomme": _eval_videomme,
+    "refcoco": _eval_refcoco,
+    "mathvista": _eval_mathvista,
 }
 
 
@@ -201,6 +273,8 @@ def _aggregate(task: str, rows: List[Dict[str, float]]) -> Dict[str, float]:
     n = max(len(rows), 1)
     metrics = {f"{task}/accuracy": sum(r["acc"] for r in rows) / n,
                f"{task}/count": float(len(rows))}
+    if task == "refcoco":
+        metrics["refcoco/mean_iou"] = sum(r["iou"] for r in rows) / n
     if task == "pope":
         tp = sum(r["tp"] for r in rows)
         fp = sum(r["fp"] for r in rows)
