@@ -193,3 +193,141 @@ def test_box_and_number_parsers():
     assert B.extract_number("first 3 then 4.5") == 4.5
     assert B.extract_number("1,234 items") == 1234.0
     assert B.extract_number("none") is None
+
+
+# ---------------------------------------------------------------------------
+# new scorers: ANLS, relaxed accuracy, MME, OCRBench, TallyQA, captions
+# ---------------------------------------------------------------------------
+
+
+def test_edit_distance_and_anls():
+    assert B.edit_distance("kitten", "sitting") == 3
+    assert B.edit_distance("", "abc") == 3
+    assert B.anls_score("hello", ["hello"]) == 1.0
+    # 1 edit over 5 chars -> 0.8, under the 0.5 threshold
+    assert B.anls_score("hullo", ["hello"]) == pytest.approx(0.8)
+    # past threshold -> 0
+    assert B.anls_score("zzzzz", ["hello"]) == 0.0
+    # max over golds
+    assert B.anls_score("42", ["41", "42"]) == 1.0
+    # case/whitespace folding
+    assert B.anls_score("  The Answer ", ["the answer"]) == 1.0
+
+
+def test_run_docvqa_anls():
+    ds = [{"image": None, "question": "invoice number",
+           "answers": ["INV-001"]}]
+    eng = FakeEngine({"invoice number": "inv-001"})
+    out = B.run_benchmark(eng, "docvqa", ds)
+    assert out["metrics"]["docvqa/accuracy"] == 1.0
+
+
+def test_relaxed_match_chartqa():
+    assert B.relaxed_match("20.5", "20")  # 2.5% off, inside 5%
+    assert not B.relaxed_match("22", "20")  # 10% off
+    assert B.relaxed_match("The value is 104", "100")
+    assert B.relaxed_match("Yes", "yes")
+    assert not B.relaxed_match("maybe", "yes")
+    assert B.relaxed_match("0", "0")
+    ds = [{"image": None, "question": "peak value", "answer": "100"}]
+    eng = FakeEngine({"peak value": "about 98"})
+    out = B.run_benchmark(eng, "chartqa", ds)
+    assert out["metrics"]["chartqa/accuracy"] == 1.0
+
+
+def test_run_mme_paired_scoring():
+    ds = [
+        {"image": "a.jpg", "category": "color",
+         "question": "is it red", "answer": "yes"},
+        {"image": "a.jpg", "category": "color",
+         "question": "is it blue", "answer": "no"},
+        {"image": "b.jpg", "category": "color",
+         "question": "is it green", "answer": "yes"},
+        {"image": "b.jpg", "category": "color",
+         "question": "is it black", "answer": "no"},
+    ]
+    eng = FakeEngine({"is it red": "Yes", "is it blue": "No",
+                      "is it green": "Yes", "is it black": "Yes"})
+    out = B.run_benchmark(eng, "mme", ds)
+    m = out["metrics"]
+    assert m["mme/color/acc"] == pytest.approx(0.75)
+    assert m["mme/color/acc_plus"] == pytest.approx(0.5)  # only image a
+    assert m["mme/total"] == pytest.approx(100 * (0.75 + 0.5))
+    # private keys stripped from the public results
+    assert "_category" not in out["results"][0]
+
+
+def test_run_ocrbench_and_tallyqa():
+    ds = [{"image": None, "question": "read the text",
+           "answers": ["Hello World"]}]
+    eng = FakeEngine({"read the text": 'It says "hello world" on the sign'})
+    out = B.run_benchmark(eng, "ocrbench", ds)
+    assert out["metrics"]["ocrbench/accuracy"] == 1.0
+
+    ds = [
+        {"image": None, "question": "how many cats", "answer": 3,
+         "issimple": True},
+        {"image": None, "question": "how many dogs on sofas", "answer": 2,
+         "issimple": False},
+    ]
+    eng = FakeEngine({"how many cats": "There are 3.",
+                      "how many dogs": "4"})
+    out = B.run_benchmark(eng, "tallyqa", ds)
+    m = out["metrics"]
+    assert m["tallyqa/accuracy"] == 0.5
+    assert m["tallyqa/simple_accuracy"] == 1.0
+    assert m["tallyqa/complex_accuracy"] == 0.0
+
+
+def test_mc_aliases_accept_letter_answers():
+    ds = [{"image": None, "question": "which shape",
+           "choices": ["circle", "square"], "answer": "B"}]
+    eng = FakeEngine({"which shape": "B. square"})
+    out = B.run_benchmark(eng, "mmmu", ds)
+    assert out["metrics"]["mmmu/accuracy"] == 1.0
+    ds = [{"video": None, "question": "what happens",
+           "choices": ["runs", "jumps"], "answer": 0}]
+    eng = FakeEngine({"what happens": "A"})
+    out = B.run_benchmark(eng, "egoschema", ds)
+    assert out["metrics"]["egoschema/accuracy"] == 1.0
+
+
+def test_caption_metrics():
+    # perfect predictions -> high CIDEr, BLEU == 1
+    cands = [B._cap_tokenize("a cat sits on the mat"),
+             B._cap_tokenize("a dog runs in the park")]
+    refs = [[B._cap_tokenize("a cat sits on the mat")],
+            [B._cap_tokenize("a dog runs in the park")]]
+    assert B.bleu4(cands, refs) == pytest.approx(1.0)
+    perfect = B.cider_d(cands, refs)
+    assert perfect > 1.0
+
+    # unrelated predictions -> (near) zero
+    bad = [B._cap_tokenize("completely unrelated words here"),
+           B._cap_tokenize("nothing in common at all")]
+    assert B.bleu4(bad, refs) == 0.0
+    assert B.cider_d(bad, refs) < 0.1 * perfect
+
+
+def test_run_caption_task():
+    # two records: CIDEr's IDF is corpus-level (log m), so a 1-sample
+    # corpus is degenerate (0) in the official metric as well
+    ds = [{"image": None, "question": "Caption the figure.",
+           "answers": ["a bar chart of sales", "sales bar chart"]},
+          {"image": None, "question": "Describe the photo.",
+           "answers": ["a red bird on a branch"]}]
+    eng = FakeEngine({"Caption the figure.": "a bar chart of sales",
+                      "Describe the photo.": "a red bird on a branch"})
+    out = B.run_benchmark(eng, "caption", ds)
+    assert out["metrics"]["caption/cider"] > 0.5
+    assert "caption/bleu4" in out["metrics"]
+    assert "_cand" not in out["results"][0]
+
+
+def test_run_vizwiz():
+    ds = [{"image": None, "question": "what is this",
+           "answers": ["unanswerable"] * 10}]
+    eng = FakeEngine({"what is this": "Unanswerable"})
+    out = B.run_benchmark(eng, "vizwiz", ds)
+    assert out["metrics"]["vizwiz/accuracy"] == 1.0
+    assert "Unanswerable" in eng.prompts[0][-1]

@@ -20,6 +20,21 @@ JSON/JSONL file in the benchmark's standard layout:
                and mean IoU (llava/eval/refcoco.py semantics).
   mathvista  — numeric/short answer extraction with relative-tolerance
                match (llava/eval/mathvista.py + mathvista_utils).
+  docvqa / infovqa — ANLS (average normalized Levenshtein similarity,
+               threshold 0.5 — the official DocVQA metric).
+  chartqa    — relaxed accuracy: 5% numeric tolerance, exact string
+               otherwise (official ChartQA metric).
+  mme        — paired yes/no probes per category; reports per-category
+               acc, acc+ (both questions of an image right) and
+               score = 100*(acc + acc+), summed into mme/total.
+  ocrbench   — gold-substring containment (official OCRBench scoring).
+  tallyqa    — counting; exact integer match, simple/complex split.
+  caption    — image/video captioning scored with corpus-level CIDEr-D
+               and BLEU-4 (scicap/youcook2/vatex/widgetcap family).
+  mmmu, ai2d, seedbench, realworldqa, mmbench — image multiple choice
+               (letter accuracy), same scorer as scienceqa.
+  egoschema, cinepile — video multiple choice, same scorer as videomme.
+  vizwiz     — VQA-v2 accuracy over 10 human answers (textvqa scorer).
 
 Dataset record formats (jsonl or json list):
   textvqa:   {"image": str, "question": str, "answers": [str x10]}
@@ -146,12 +161,18 @@ def _eval_gqa(engine, ex, gen, media_root):
     return pred, {"acc": float(ok)}
 
 
+def _gold_letter(answer) -> str:
+    """Gold MC answer as a letter — accepts an index or a letter string."""
+    if isinstance(answer, int):
+        return _LETTERS[answer]
+    return str(answer).strip().upper()
+
+
 def _eval_scienceqa(engine, ex, gen, media_root):
     prompt = format_mc_prompt(ex["question"], ex["choices"])
     pred = _generate(engine, ex, prompt, gen, media_root)
     letter = parse_choice(pred, ex["choices"])
-    gold = _LETTERS[ex["answer"]]
-    return pred, {"acc": float(letter == gold)}
+    return pred, {"acc": float(letter == _gold_letter(ex["answer"]))}
 
 
 def _eval_pope(engine, ex, gen, media_root):
@@ -178,7 +199,7 @@ def _eval_videomme(engine, ex, gen, media_root):
     prompt = format_mc_prompt(ex["question"], ex["choices"])
     pred = _generate(engine, ex, prompt, gen, media_root)
     letter = parse_choice(pred, ex["choices"])
-    return pred, {"acc": float(letter == ex["answer"].strip().upper())}
+    return pred, {"acc": float(letter == _gold_letter(ex["answer"]))}
 
 
 _BOX_RE = re.compile(
@@ -246,6 +267,276 @@ def _eval_mathvista(engine, ex, gen, media_root):
     return pred, {"acc": float(ok)}
 
 
+# ---------------------------------------------------------------------------
+# ANLS (DocVQA / InfographicVQA official metric)
+# ---------------------------------------------------------------------------
+
+
+def edit_distance(a: str, b: str) -> int:
+    """Levenshtein distance, O(len(a)·len(b)) two-row DP."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def anls_score(pred: str, golds: List[str], tau: float = 0.5) -> float:
+    """Max over golds of 1 - NL(pred, gold), zeroed past the tau threshold."""
+    p = " ".join(pred.strip().lower().split())
+    best = 0.0
+    for g in golds:
+        g = " ".join(str(g).strip().lower().split())
+        if not p and not g:
+            best = max(best, 1.0)
+            continue
+        d = edit_distance(p, g)
+        nl = d / max(len(p), len(g), 1)
+        if nl < tau:
+            best = max(best, 1.0 - nl)
+    return best
+
+
+def _eval_docvqa(engine, ex, gen, media_root):
+    pred = _generate(engine, ex, _short_answer_prompt(ex["question"]),
+                     gen, media_root)
+    golds = ex["answers"] if "answers" in ex else [ex["answer"]]
+    s = anls_score(pred, golds)
+    return pred, {"acc": s}
+
+
+# ---------------------------------------------------------------------------
+# ChartQA relaxed accuracy
+# ---------------------------------------------------------------------------
+
+
+def relaxed_match(pred: str, gold: str, tol: float = 0.05) -> bool:
+    """Official ChartQA scoring: numeric answers match within 5% relative
+    tolerance; everything else is case-insensitive exact match."""
+    p, g = pred.strip().rstrip(".").strip(), str(gold).strip()
+    try:
+        gv = float(g.replace(",", "").rstrip("%"))
+        n = extract_number(p)
+        if n is None:
+            return False
+        return abs(n - gv) <= tol * abs(gv) if gv != 0 else n == 0
+    except ValueError:
+        return p.lower() == g.lower()
+
+
+def _eval_chartqa(engine, ex, gen, media_root):
+    pred = _generate(engine, ex, _short_answer_prompt(ex["question"]),
+                     gen, media_root)
+    return pred, {"acc": float(relaxed_match(pred, ex["answer"]))}
+
+
+# ---------------------------------------------------------------------------
+# MME (paired yes/no probes, per-category score)
+# ---------------------------------------------------------------------------
+
+
+def _eval_mme(engine, ex, gen, media_root):
+    pred = _generate(
+        engine, ex,
+        f"{ex['question']}\nAnswer the question with yes or no.",
+        gen, media_root,
+    )
+    p = vqa_normalize(pred)
+    pred_label = "yes" if p.startswith("yes") else (
+        "no" if p.startswith("no") else "other")
+    gold = ex["answer"].strip().lower()
+    return pred, {
+        "acc": float(pred_label == gold),
+        # carried through for the paired acc+ aggregation
+        "_category": ex.get("category", "all"),
+        "_image": ex.get("image", ""),
+    }
+
+
+def _aggregate_mme(rows: List[Dict[str, Any]]) -> Dict[str, float]:
+    by_cat: Dict[str, List[Dict[str, Any]]] = {}
+    for r in rows:
+        by_cat.setdefault(r["_category"], []).append(r)
+    metrics: Dict[str, float] = {}
+    total = 0.0
+    for cat, rs in sorted(by_cat.items()):
+        acc = sum(r["acc"] for r in rs) / max(len(rs), 1)
+        by_img: Dict[str, List[float]] = {}
+        for r in rs:
+            by_img.setdefault(r["_image"], []).append(r["acc"])
+        plus = sum(all(v) for v in by_img.values()) / max(len(by_img), 1)
+        score = 100.0 * (acc + plus)
+        metrics[f"mme/{cat}/acc"] = acc
+        metrics[f"mme/{cat}/acc_plus"] = plus
+        metrics[f"mme/{cat}/score"] = score
+        total += score
+    metrics["mme/total"] = total
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# OCRBench, TallyQA
+# ---------------------------------------------------------------------------
+
+
+def _eval_ocrbench(engine, ex, gen, media_root):
+    pred = _generate(engine, ex, ex["question"], gen, media_root)
+    golds = ex["answers"] if "answers" in ex else [ex["answer"]]
+    pl = " ".join(pred.lower().split())
+    ok = any(" ".join(str(g).lower().split()) in pl for g in golds)
+    return pred, {"acc": float(ok)}
+
+
+def _eval_tallyqa(engine, ex, gen, media_root):
+    pred = _generate(
+        engine, ex, f"{ex['question']}\nAnswer with a number.",
+        gen, media_root,
+    )
+    n = extract_number(pred)
+    ok = n is not None and int(n) == int(ex["answer"]) and n == int(n)
+    key = "simple" if ex.get("issimple", True) else "complex"
+    return pred, {"acc": float(ok), f"_{key}": float(ok), "_has_" + key: 1.0}
+
+
+# ---------------------------------------------------------------------------
+# Captioning: corpus-level CIDEr-D + BLEU-4 (numpy/stdlib implementations
+# of the standard public metrics; scicap/youcook2/vatex/widgetcap family)
+# ---------------------------------------------------------------------------
+
+
+def _cap_tokenize(s: str) -> List[str]:
+    s = re.sub(r"[^a-z0-9 ]", " ", s.lower())
+    return s.split()
+
+
+def _ngrams(tokens: List[str], n: int) -> Dict[tuple, int]:
+    out: Dict[tuple, int] = {}
+    for i in range(len(tokens) - n + 1):
+        g = tuple(tokens[i: i + n])
+        out[g] = out.get(g, 0) + 1
+    return out
+
+
+def cider_d(
+    candidates: List[List[str]], references: List[List[List[str]]],
+    n_max: int = 4, sigma: float = 6.0,
+) -> float:
+    """CIDEr-D: TF-IDF n-gram cosine with length penalty and count
+    clipping, averaged over n=1..4, scaled by 10."""
+    import math
+
+    # document frequencies over reference sets
+    df: List[Dict[tuple, int]] = [dict() for _ in range(n_max)]
+    for refs in references:
+        for n in range(n_max):
+            seen = set()
+            for ref in refs:
+                seen.update(_ngrams(ref, n + 1).keys())
+            for g in seen:
+                df[n][g] = df[n].get(g, 0) + 1
+    log_m = math.log(max(len(references), 1))
+
+    def tfidf(counts: Dict[tuple, int], n: int):
+        vec: Dict[tuple, float] = {}
+        norm = 0.0
+        total = max(sum(counts.values()), 1)
+        for g, c in counts.items():
+            idf = log_m - math.log(max(df[n].get(g, 0), 1))
+            w = (c / total) * idf
+            vec[g] = w
+            norm += w * w
+        return vec, math.sqrt(norm)
+
+    scores = []
+    for cand, refs in zip(candidates, references):
+        sc = 0.0
+        for n in range(n_max):
+            c_counts = _ngrams(cand, n + 1)
+            c_vec, c_norm = tfidf(c_counts, n)
+            s_n = 0.0
+            for ref in refs:
+                r_counts = _ngrams(ref, n + 1)
+                r_vec, r_norm = tfidf(r_counts, n)
+                # clipped dot product (the -D part)
+                dot = sum(min(c_vec[g], r_vec.get(g, 0.0)) * r_vec.get(g, 0.0)
+                          for g in c_vec)
+                delta = len(cand) - len(ref)
+                pen = math.exp(-(delta ** 2) / (2 * sigma ** 2))
+                if c_norm > 0 and r_norm > 0:
+                    s_n += pen * dot / (c_norm * r_norm)
+            sc += s_n / max(len(refs), 1)
+        scores.append(10.0 * sc / n_max)
+    return sum(scores) / max(len(scores), 1)
+
+
+def bleu4(candidates: List[List[str]],
+          references: List[List[List[str]]]) -> float:
+    """Corpus BLEU-4 with brevity penalty (uniform weights)."""
+    import math
+
+    p_num = [0] * 4
+    p_den = [0] * 4
+    c_len = r_len = 0
+    for cand, refs in zip(candidates, references):
+        c_len += len(cand)
+        r_len += min((abs(len(r) - len(cand)), len(r)) for r in refs)[1]
+        for n in range(4):
+            c_counts = _ngrams(cand, n + 1)
+            max_ref: Dict[tuple, int] = {}
+            for ref in refs:
+                for g, c in _ngrams(ref, n + 1).items():
+                    max_ref[g] = max(max_ref.get(g, 0), c)
+            p_num[n] += sum(min(c, max_ref.get(g, 0))
+                            for g, c in c_counts.items())
+            p_den[n] += max(sum(c_counts.values()), 0)
+    if any(v == 0 for v in p_num):
+        return 0.0
+    log_p = sum(math.log(p_num[n] / p_den[n]) for n in range(4)) / 4
+    bp = 1.0 if c_len > r_len else math.exp(1 - r_len / max(c_len, 1))
+    return bp * math.exp(log_p)
+
+
+def _eval_caption(engine, ex, gen, media_root):
+    prompt = ex.get(
+        "question", "Provide a one-sentence caption for the provided image."
+    )
+    pred = _generate(engine, ex, prompt, gen, media_root)
+    refs = ex["answers"] if "answers" in ex else [ex["answer"]]
+    # exact-match acc is meaningless for captions; corpus metrics are
+    # computed in the aggregator from the carried tokens
+    return pred, {
+        "acc": 0.0,
+        "_cand": _cap_tokenize(pred),
+        "_refs": [_cap_tokenize(str(r)) for r in refs],
+    }
+
+
+def _aggregate_caption(task: str, rows: List[Dict[str, Any]]):
+    cands = [r["_cand"] for r in rows]
+    refs = [r["_refs"] for r in rows]
+    return {
+        f"{task}/cider": cider_d(cands, refs),
+        f"{task}/bleu4": bleu4(cands, refs),
+        f"{task}/count": float(len(rows)),
+    }
+
+
+def _eval_vizwiz(engine, ex, gen, media_root):
+    pred = _generate(
+        engine, ex,
+        f"{ex['question']}\nWhen the provided information is insufficient, "
+        "respond with 'Unanswerable'. Answer the question using a single "
+        "word or phrase.",
+        gen, media_root,
+    )
+    return pred, {"acc": vqa_accuracy(pred, ex["answers"])}
+
+
 TASKS: Dict[str, Callable] = {
     "textvqa": _eval_textvqa,
     "gqa": _eval_gqa,
@@ -254,6 +545,23 @@ TASKS: Dict[str, Callable] = {
     "videomme": _eval_videomme,
     "refcoco": _eval_refcoco,
     "mathvista": _eval_mathvista,
+    "docvqa": _eval_docvqa,
+    "infovqa": _eval_docvqa,
+    "chartqa": _eval_chartqa,
+    "mme": _eval_mme,
+    "ocrbench": _eval_ocrbench,
+    "tallyqa": _eval_tallyqa,
+    "caption": _eval_caption,
+    "vizwiz": _eval_vizwiz,
+    # image multiple choice — scienceqa scorer handles letter/index golds
+    "mmmu": _eval_scienceqa,
+    "ai2d": _eval_scienceqa,
+    "seedbench": _eval_scienceqa,
+    "realworldqa": _eval_scienceqa,
+    "mmbench": _eval_scienceqa,
+    # video multiple choice
+    "egoschema": _eval_videomme,
+    "cinepile": _eval_videomme,
 }
 
 
@@ -270,11 +578,22 @@ def _generate(engine, ex, question: str, gen, media_root: str) -> str:
 
 
 def _aggregate(task: str, rows: List[Dict[str, float]]) -> Dict[str, float]:
+    if task == "mme":
+        return _aggregate_mme(rows)
+    if task == "caption":
+        return _aggregate_caption(task, rows)
     n = max(len(rows), 1)
     metrics = {f"{task}/accuracy": sum(r["acc"] for r in rows) / n,
                f"{task}/count": float(len(rows))}
     if task == "refcoco":
         metrics["refcoco/mean_iou"] = sum(r["iou"] for r in rows) / n
+    if task == "tallyqa":
+        for key in ("simple", "complex"):
+            k = sum(r.get("_has_" + key, 0.0) for r in rows)
+            if k:
+                metrics[f"tallyqa/{key}_accuracy"] = (
+                    sum(r.get("_" + key, 0.0) for r in rows) / k
+                )
     if task == "pope":
         tp = sum(r["tp"] for r in rows)
         fp = sum(r["fp"] for r in rows)
@@ -316,7 +635,8 @@ def run_benchmark(
     for ex in dataset[: limit or len(dataset)]:
         pred, scores = fn(engine, ex, gen, media_root)
         rows.append(scores)
-        results.append({**ex, "prediction": pred, **scores})
+        public = {k: v for k, v in scores.items() if not k.startswith("_")}
+        results.append({**ex, "prediction": pred, **public})
     return {"results": results, "metrics": _aggregate(task, rows)}
 
 
