@@ -123,8 +123,14 @@ def main():
 
     from vila_tpu.models import qwen2, vlm
 
+    import sys
+
+    def progress(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     params, cfg = build_8b_quantized()
     llm_cfg = cfg.llm
+    L = llm_cfg.num_hidden_layers
 
     # ---------------- decode throughput ----------------
     ctx = 1280  # ~single-image prompt: 256 media tokens + text, prefilled
@@ -163,6 +169,7 @@ def main():
         lambda n, p, c: decode_run(n, p, c), 1, 65, params["llm"], cache
     )
     decode_tps = 1.0 / step_time
+    progress(f"decode bs=1: {decode_tps:.2f} tok/s")
 
     # ---------------- batched decode (serving throughput) ----------------
     # Decode is weight-bandwidth-bound, so per-chip throughput scales with
@@ -206,6 +213,7 @@ def main():
         lambda n, p, c: decode_run8(n, p, c), 1, 65, params["llm"], cache8
     )
     decode_tps8 = bs8 / step8
+    progress(f"decode bs=8: {decode_tps8:.1f} tok/s/chip")
 
     # ---------------- TTFT (single image, bs=1) ----------------
     # Single-image prompt: 256 media tokens + ~20 text tokens = ~280,
@@ -233,6 +241,7 @@ def main():
         return out.sum()
 
     ttft = diff_time(ttft_run, 1, 6, params, ids, tiles, media_pos)
+    progress(f"ttft: {ttft * 1000:.2f} ms")
 
     # ---------------- engine-level TTFT (host path included) ----------------
     # Through the public GenerationEngine: PIL image -> preprocess ->

@@ -714,18 +714,20 @@ def sample_token(
     Only `do_sample` is trace-static; temperature/top_p/top_k are DYNAMIC
     scalars so a server sweeping sampling configs reuses one compiled decode
     step instead of compiling per value. temperature <= 0 degrades to
-    greedy at runtime.
+    greedy at runtime. Each may also be a per-row ``(B,)`` vector — the
+    continuous batcher decodes requests with different sampling configs in
+    one batch.
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if not do_sample:
         return greedy
 
     v = logits.shape[-1]
-    t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+    t = jnp.maximum(_col(temperature, jnp.float32), 1e-6)
     l = logits.astype(jnp.float32) / t
 
     # top-k via the k-th order statistic of the sorted logits (dynamic k)
-    k = jnp.clip(jnp.asarray(top_k, jnp.int32), 0, v)
+    k = jnp.clip(_col(top_k, jnp.int32), 0, v)
     sorted_desc = jnp.sort(l, axis=-1)[..., ::-1]
     kth = jnp.take_along_axis(
         sorted_desc,
@@ -742,7 +744,7 @@ def sample_token(
     cum = jnp.cumsum(probs, axis=-1)
     # Keep tokens whose cumulative prob (exclusive) < top_p; the best token
     # always survives.
-    keep = cum - probs < jnp.asarray(top_p, jnp.float32)
+    keep = cum - probs < _col(top_p, jnp.float32)
     keep = keep.at[..., 0].set(True)
     threshold = jnp.min(
         jnp.where(keep, sorted2, jnp.inf), axis=-1, keepdims=True
@@ -753,3 +755,9 @@ def sample_token(
     return jnp.where(
         jnp.asarray(temperature, jnp.float32) <= 0.0, greedy, sampled
     )
+
+
+def _col(x, dtype):
+    """Scalar passthrough; (B,) vectors become (B, 1) broadcast columns."""
+    x = jnp.asarray(x, dtype)
+    return x[:, None] if x.ndim == 1 else x

@@ -143,17 +143,25 @@ def init_params(
 
 
 def init_cache(
-    cfg: LLMConfig, batch: int, max_len: int, dtype=None
+    cfg: LLMConfig, batch: int, max_len: int, dtype=None,
+    per_slot_fill: bool = False,
 ) -> Params:
-    """Pre-allocated decode cache. `valid` marks written, non-padding slots."""
+    """Pre-allocated decode cache. `valid` marks written, non-padding slots.
+
+    With ``per_slot_fill`` the write cursor is a per-row vector ``(B,)``
+    instead of a shared scalar: each batch row advances independently, which
+    is what the continuous-batching scheduler (`serving/batcher.py`) needs —
+    rows hold different requests at different depths.
+    """
     dtype = dtype or cfg.compute_dtype
     L = cfg.num_hidden_layers
     shape = (L, batch, max_len, cfg.num_key_value_heads, cfg.head_dim_)
+    fill_shape = (batch,) if per_slot_fill else ()
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
         "valid": jnp.zeros((batch, max_len), jnp.bool_),
-        "fill": jnp.zeros((), jnp.int32),
+        "fill": jnp.zeros(fill_shape, jnp.int32),
     }
 
 
@@ -210,6 +218,8 @@ def forward(
 
     With `cache`, the S new tokens are written at slots [fill, fill+S) and
     attend to every previously-valid slot plus themselves (causally).
+    A vector `fill` (see `init_cache(per_slot_fill=True)`) writes each row
+    at its own cursor — the continuous-batching decode path.
     Without `cache`, standard causal (optionally packed) attention.
 
     With `sp` (an active `vila_tpu.parallel.sp.SPConfig`), the cache-free
@@ -228,7 +238,8 @@ def forward(
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
         if cache is not None:
-            positions = positions + cache["fill"]
+            f = cache["fill"]
+            positions = positions + (f[:, None] if f.ndim else f)
 
     cos, sin = rope_cos_sin(
         positions, cfg.head_dim_, cfg.rope_theta, cfg.rope_linear_scaling
@@ -236,18 +247,26 @@ def forward(
 
     new_valid = None
     q_slots = kv_slots = kv_seg = q_seg = None
+    write_rows = None  # (b, s) per-row write indices when fill is a vector
     if cache is not None:
         fill = cache["fill"]
         max_len = cache["k"].shape[2]
         if token_valid is None:
             token_valid = jnp.ones((b, s), jnp.bool_)
-        new_valid = jax.lax.dynamic_update_slice(
-            cache["valid"], token_valid, (0, fill)
-        )
-        # Mask by slot index (writes are sequential) + slot validity.
-        q_slots = jnp.broadcast_to(
-            jnp.arange(s, dtype=jnp.int32), (b, s)
-        ) + fill
+        if fill.ndim:  # per-slot fill (continuous batching)
+            write_rows = fill[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+            new_valid = cache["valid"].at[
+                jnp.arange(b)[:, None], write_rows
+            ].set(token_valid, mode="drop")
+            q_slots = write_rows
+        else:
+            new_valid = jax.lax.dynamic_update_slice(
+                cache["valid"], token_valid, (0, fill)
+            )
+            # Mask by slot index (writes are sequential) + slot validity.
+            q_slots = jnp.broadcast_to(
+                jnp.arange(s, dtype=jnp.int32), (b, s)
+            ) + fill
         kv_slots = jnp.broadcast_to(
             jnp.arange(max_len, dtype=jnp.int32), (b, max_len)
         )
@@ -324,12 +343,21 @@ def forward(
 
         if cache is not None:
             fill = cache["fill"]
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype), (0, fill, 0, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype), (0, fill, 0, 0)
-            )
+            if write_rows is not None:
+                rows = jnp.arange(b)[:, None]
+                ck = ck.at[rows, write_rows].set(
+                    k.astype(ck.dtype), mode="drop"
+                )
+                cv = cv.at[rows, write_rows].set(
+                    v.astype(cv.dtype), mode="drop"
+                )
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k.astype(ck.dtype), (0, fill, 0, 0)
+                )
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v.astype(cv.dtype), (0, fill, 0, 0)
+                )
             attn = multi_head_attention(
                 q, ck.astype(dtype), cv.astype(dtype),
                 causal=True,

@@ -201,11 +201,24 @@ def main():
     parser.add_argument("--model-path", required=True)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument(
+        "--max-batch", type=int, default=0,
+        help="enable continuous batching with this many decode slots "
+        "(0 = bs=1 serial serving)",
+    )
+    parser.add_argument("--max-len", type=int, default=2048,
+                        help="per-request context cap under batching")
     args = parser.parse_args()
 
     import vila_tpu
 
     engine = vila_tpu.load(args.model_path)
+    if args.max_batch > 0:
+        from vila_tpu.serving.batcher import ContinuousBatcher
+
+        engine = ContinuousBatcher(
+            engine, max_batch=args.max_batch, max_len=args.max_len
+        )
     serve(engine, args.host, args.port)
 
 
