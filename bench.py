@@ -50,7 +50,7 @@ def build_8b_quantized(dtype="bfloat16"):
     # Synthetic W4 weights built directly in tiled packed form, generated
     # ON DEVICE (jax.random) — the full bf16 model wouldn't fit in 16 GB
     # HBM, and host->TPU transfer of GBs over the dev tunnel is minutes.
-    from vila_tpu.ops.quant import pick_bout
+    from vila_tpu.ops.quant import pick_bout, scale_rows
 
     L, D, I = llm.num_hidden_layers, llm.hidden_size, llm.intermediate_size
     hd, Hq, Hkv = llm.head_dim_, llm.num_attention_heads, llm.num_key_value_heads
@@ -64,7 +64,8 @@ def build_8b_quantized(dtype="bfloat16"):
         packed = jax.random.randint(
             key, shape + (nj, din // 2, bout), 0, 256, jnp.int32
         ).astype(jnp.uint8)
-        scales = jnp.full(shape + (nj, din // G, bout), 0.002, jnp.bfloat16)
+        s_rows = scale_rows(din // (2 * G))  # sublane-aligned (quantize_w4)
+        scales = jnp.full(shape + (nj, s_rows, bout), 0.002, jnp.bfloat16)
         slot = {"packed": packed, "scales": scales}
         if bias:
             slot["bias"] = jnp.zeros(shape + (dout,), jnp.bfloat16)

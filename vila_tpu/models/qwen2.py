@@ -320,8 +320,14 @@ def forward(
             return _qlinear_stacked(x, name, lp, l)
         return _linear(x, lp[name], dtype, fp8)
 
-    def layer_fn(h, xs):
-        l, lp, ck, cv = xs
+    def layer_fn(carry, xs):
+        # Decode: the FULL (L, ...) KV cache rides the scan carry and is
+        # updated in place (donated loop buffer). Passing per-layer cache
+        # through xs/ys instead makes XLA stack fresh ys and copy the
+        # whole cache every step — profiled at ~0.75 ms/step on v5e for
+        # the 8B shape (2× full-cache copies + per-layer update copies).
+        h, ck_all, cv_all = carry
+        l, lp = xs
         x = rms_norm(h, lp["input_layernorm"]["scale"], cfg.rms_norm_eps)
         if "qkv_proj" in lp:
             # fused projection (quantized decode path): one wide matmul
@@ -343,13 +349,28 @@ def forward(
 
         if cache is not None:
             fill = cache["fill"]
+            # Read the layer's slice FIRST, then write the tiny s-token
+            # update into the carried buffer: read-old-then-update lets XLA
+            # keep the (L, ...) cache update in place. (Write-then-slice
+            # forces a full-cache copy per layer — ~3 ms/step on the 8B
+            # shape.)
+            ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
             if write_rows is not None:
                 rows = jnp.arange(b)[:, None]
-                ck = ck.at[rows, write_rows].set(
+                rr = jnp.broadcast_to(rows, (b, s))
+                l_idx = jnp.broadcast_to(l, (b, s))
+                ck = ck.at[rr, write_rows].set(
                     k.astype(ck.dtype), mode="drop"
                 )
-                cv = cv.at[rows, write_rows].set(
+                cv = cv.at[rr, write_rows].set(
                     v.astype(cv.dtype), mode="drop"
+                )
+                ck_all = ck_all.at[l_idx, rr, write_rows].set(
+                    k.astype(ck_all.dtype), mode="drop"
+                )
+                cv_all = cv_all.at[l_idx, rr, write_rows].set(
+                    v.astype(cv_all.dtype), mode="drop"
                 )
             else:
                 ck = jax.lax.dynamic_update_slice(
@@ -357,6 +378,14 @@ def forward(
                 )
                 cv = jax.lax.dynamic_update_slice(
                     cv, v.astype(cv.dtype), (0, fill, 0, 0)
+                )
+                ck_all = jax.lax.dynamic_update_slice(
+                    ck_all, k.astype(ck_all.dtype)[None],
+                    (l, 0, fill, 0, 0),
+                )
+                cv_all = jax.lax.dynamic_update_slice(
+                    cv_all, v.astype(cv_all.dtype)[None],
+                    (l, 0, fill, 0, 0),
                 )
             attn = multi_head_attention(
                 q, ck.astype(dtype), cv.astype(dtype),
@@ -393,7 +422,7 @@ def forward(
             gate = lin(x, "gate_proj", lp, l)
             up = lin(x, "up_proj", lp, l)
         h = h + lin(jax.nn.silu(gate) * up, "down_proj", lp, l)
-        return h, (ck, cv)
+        return (h, ck_all, cv_all), None
 
     body = layer_fn
     if cfg.remat:
@@ -403,13 +432,14 @@ def forward(
 
     L = cfg.num_hidden_layers
     layer_ids = jnp.arange(L, dtype=jnp.int32)
+    xs = (layer_ids, sliced_layers)
     if cache is not None:
-        xs = (layer_ids, sliced_layers, cache["k"], cache["v"])
+        carry0 = (h, cache["k"], cache["v"])
     else:
-        dummy = jnp.zeros((L, 0), dtype)
-        xs = (layer_ids, sliced_layers, dummy, dummy)
+        dummy = jnp.zeros((0,), dtype)
+        carry0 = (h, dummy, dummy)
 
-    h, (new_k, new_v) = jax.lax.scan(body, h, xs)
+    (h, new_k, new_v), _ = jax.lax.scan(body, carry0, xs)
 
     new_cache = None
     if cache is not None:

@@ -86,11 +86,21 @@ def _unpack_planes(p: jnp.ndarray):
 # --------------------------------------------------------------------------
 
 
+def scale_rows(ngh: int) -> int:
+    """Sublane-aligned scale-row count: 2*ngh (lo+hi groups) padded to a
+    multiple of 8 so Mosaic DMA slices land on aligned extents. The padding
+    is baked in at quantize time — padding at matmul time materializes a
+    full pad of the stacked (L, nj, rows, bout) array per layer per decode
+    step (profiled at ~4 ms/step on the 8B shape)."""
+    return ((2 * ngh + 7) // 8) * 8
+
+
 def quantize_w4(
     w: jnp.ndarray, group_size: int = DEFAULT_GROUP, bout: Optional[int] = None
 ) -> Dict[str, Any]:
     """w: (..., din, dout) -> tiled {packed (..., NJ, din/2, bout) uint8,
-    scales (..., NJ, 2*ngh, bout) bf16}."""
+    scales (..., NJ, scale_rows(ngh), bout) bf16} (rows beyond 2*ngh are
+    zero padding)."""
     *lead, din, dout = w.shape
     half = din // 2
     assert din % (2 * group_size) == 0, (din, group_size)
@@ -117,6 +127,12 @@ def quantize_w4(
         .transpose(perm)
         .astype(jnp.bfloat16)
     )
+    rows = din // group_size  # == 2 * ngh
+    s_rows = scale_rows(rows // 2)
+    if s_rows != rows:
+        pad = [(0, 0)] * scales_t.ndim
+        pad[-2] = (0, s_rows - rows)
+        scales_t = jnp.pad(scales_t, pad)
     return {
         "packed": packed_t,
         "scales": scales_t,
@@ -146,11 +162,22 @@ def quantize_w8(w: jnp.ndarray, group_size: int = DEFAULT_GROUP) -> Dict[str, An
 
 
 def _tiled_meta(packed: jnp.ndarray, scales: jnp.ndarray):
-    """Derive (half, bout, nj, ngh, group_size, din, dout) from shapes."""
+    """Derive (half, bout, nj, ngh, group_size, din, dout) from shapes.
+
+    Scale rows may carry sublane padding (`scale_rows`), so ngh is
+    recovered by matching candidate group sizes against the row count."""
     *_, nj, half, bout = packed.shape
-    ngh = scales.shape[-2] // 2
-    group_size = half // ngh
-    return half, bout, nj, ngh, group_size, 2 * half, nj * bout
+    rows = scales.shape[-2]
+    for gs in (DEFAULT_GROUP, 64, 256, 32, 16, 512):
+        if half % gs:
+            continue
+        ngh = half // gs
+        if rows in (2 * ngh, scale_rows(ngh)):
+            return half, bout, nj, ngh, gs, 2 * half, nj * bout
+    raise ValueError(
+        f"cannot infer group size from packed {packed.shape} / "
+        f"scales {scales.shape}"
+    )
 
 
 def dequantize(qdict: Dict[str, Any]) -> jnp.ndarray:
@@ -171,7 +198,11 @@ def dequantize(qdict: Dict[str, Any]) -> jnp.ndarray:
     # un-tile: (..., nj, half, bout) -> (..., half, dout)
     perm = tuple(range(nl)) + (nl + 1, nl, nl + 2)
     flat_p = packed.transpose(perm).reshape(*lead, half, dout)
-    flat_s = scales.transpose(perm).reshape(*lead, 2 * ngh, dout)
+    flat_s = (
+        scales[..., : 2 * ngh, :]  # drop sublane padding rows
+        .transpose(perm)
+        .reshape(*lead, 2 * ngh, dout)
+    )
     lo = (flat_p & 0xF).astype(jnp.int32) - 8
     hi = (flat_p >> 4).astype(jnp.int32) - 8
     q = jnp.concatenate([lo, hi], axis=-2)
@@ -441,28 +472,26 @@ def _w4_matmul_decode_manual(x, packed, scales, act_digits, layer_index):
         layer_index = jnp.zeros((), jnp.int32)
     assert layer_index is not None
 
-    # Mosaic DMA slices / VMEM blocks need an 8-aligned sublane extent:
-    # pad the scale rows (2*ngh) up to a multiple of 8. The pad is
-    # loop-invariant, so XLA hoists it out of decode scans.
-    s_rows = ((2 * ngh + 7) // 8) * 8
-    if s_rows != 2 * ngh:
-        # (expressed as update-into-zeros: jnp.pad here trips an MLIR
-        # closed_call lowering-cache bug inside nested jits)
-        padded = jnp.zeros(
-            scales.shape[:2] + (s_rows, scales.shape[-1]), scales.dtype
-        )
-        scales = jax.lax.dynamic_update_slice(
-            padded, scales, (0, 0, 0, 0)
-        )
+    # Mosaic DMA slices / VMEM blocks need an 8-aligned sublane extent.
+    # quantize_w4 bakes the row padding in (`scale_rows`); a runtime pad
+    # here would materialize the full stacked array per layer per decode
+    # step (~4 ms/step on the 8B shape — profiled), so it is required.
+    s_rows = scale_rows(ngh)
+    assert scales.shape[-2] == s_rows, (
+        f"scales rows {scales.shape[-2]} != aligned {s_rows}; re-quantize "
+        "with ops.quant.quantize_w4 (padding is baked in at quantize time)"
+    )
 
     # Fast configuration (measured): grid=() with PLAIN (non-windowed)
     # VMEM specs — any windowed/blocked spec flips Mosaic into its grid
     # pipeline mode and halves manual-DMA throughput (718 -> ~360 GB/s).
-    # Scales: whole-layer pre-sliced outside the kernel when they fit VMEM
-    # (a ~2MB copy per call, hoist-friendly); streamed per block only for
-    # giant heads (lm_head scales are ~8.5MB).
+    # Scales: streamed per block alongside the weights whenever the weights
+    # are stacked (L, ...) — a resident copy would dynamic-slice ~2MB of
+    # scales per layer per step inside the decode scan (profiled at
+    # ~0.2 ms/step on the 8B shape; the slice can't hoist because the layer
+    # index varies). Resident VMEM scales only for single-layer calls.
     scale_layer_bytes = nj * s_rows * bout * 2
-    stream_scales = scale_layer_bytes > (3 << 20)
+    stream_scales = packed.shape[0] > 1 or scale_layer_bytes > (3 << 20)
 
     out_bytes = bm * dout * 2
     block_bytes = half * bout + (
@@ -598,7 +627,6 @@ def _w4_matmul_decode_grid(
             ],
             out_specs=pl.BlockSpec((bm, bout), lambda i, j, l: (i, j)),
         )
-        ngh_s = scales.shape[-2] // 2
         out = pl.pallas_call(
             wrapped,
             grid_spec=grid_spec,
@@ -612,8 +640,8 @@ def _w4_matmul_decode_grid(
             x[:, :half],
             x[:, half:],
             packed,
-            scales[:, :, :ngh_s, :],
-            scales[:, :, ngh_s:, :],
+            scales[:, :, :ngh, :],
+            scales[:, :, ngh : 2 * ngh, :],
         )
         return out[:m]
 
@@ -638,7 +666,7 @@ def _w4_matmul_decode_grid(
         x[:, half:],
         packed,
         scales[:, :ngh, :],
-        scales[:, ngh:, :],
+        scales[:, ngh : 2 * ngh, :],
     )
     return out[:m]
 
@@ -733,7 +761,7 @@ def w4_matmul_prefill(
         assert layer_index is not None
         L = packed.shape[0]
         s_lo5 = scales[:, :, :ngh, :].reshape(L, nj, nk, gpb, bout)
-        s_hi5 = scales[:, :, ngh:, :].reshape(L, nj, nk, gpb, bout)
+        s_hi5 = scales[:, :, ngh : 2 * ngh, :].reshape(L, nj, nk, gpb, bout)
 
         def wrapped(l_ref, x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref,
                     o_ref, acc_ref):
@@ -808,7 +836,7 @@ def w4_matmul_prefill(
     # Scales per k-block as full trailing dims (Mosaic block-shape rule):
     # (nj, ngh, bout) -> (nj, nk, gpb, bout), pure view of contiguous rows.
     s_lo4 = scales[:, :ngh, :].reshape(nj, nk, gpb, bout)
-    s_hi4 = scales[:, ngh:, :].reshape(nj, nk, gpb, bout)
+    s_hi4 = scales[:, ngh : 2 * ngh, :].reshape(nj, nk, gpb, bout)
 
     out = pl.pallas_call(
         kernel,
