@@ -57,8 +57,8 @@ def build_8b_quantized(dtype="bfloat16"):
     G = 128
     key = jax.random.PRNGKey(0)
 
-    def qslot(din, dout, bias=False, lead=True):
-        bout = pick_bout(din, dout)
+    def qslot(din, dout, bias=False, lead=True, bout_budget=None):
+        bout = pick_bout(din, dout, budget=bout_budget or (26 << 20) // 10)
         nj = dout // bout
         shape = (L,) if lead else ()
         packed = jax.random.randint(
@@ -85,7 +85,8 @@ def build_8b_quantized(dtype="bfloat16"):
             "o_proj": qslot(Hq * hd, D),
             "post_attention_layernorm": {"scale": jnp.ones((L, D), jnp.bfloat16)},
             "gate_up_proj": qslot(D, 2 * I),
-            "down_proj": qslot(I, D),
+            # wider blocks for the tall matrix (quantize_llm_params parity)
+            "down_proj": qslot(I, D, bout_budget=5 << 20),
         },
         "norm": {"scale": jnp.ones((D,), jnp.bfloat16)},
         "lm_head": qslot(D, llm.vocab_size, lead=False),

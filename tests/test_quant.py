@@ -131,3 +131,46 @@ def test_fused_equals_unfused():
     np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=1e-2, rtol=0.05
     )
+
+
+def test_fused_decode_kernels_match_per_op_path(monkeypatch):
+    """The fused two-stream decode scan (ops/fused_decode.py) reproduces the
+    per-op quantized decode path: same cache decode, same greedy tokens,
+    logits within quantization-noise tolerance."""
+    from vila_tpu.models import qwen2
+
+    cfg = qwen2.LLMConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        dtype="float32", tie_word_embeddings=True,
+    )
+    params = qwen2.init_params(jax.random.PRNGKey(2), cfg)
+    qparams = quant.quantize_llm_params(params, group_size=128, fuse=True)
+    rng = np.random.default_rng(2)
+    prompt = jnp.asarray(rng.integers(0, 128, (2, 6)), jnp.int32)
+
+    def decode(n_steps):
+        cache = qwen2.init_cache(cfg, batch=2, max_len=32)
+        logits, cache = qwen2.forward(
+            qparams, cfg, input_ids=prompt, cache=cache
+        )
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        toks, outs = [tok], []
+        for i in range(n_steps):
+            pos = jnp.full((2, 1), prompt.shape[1] + i, jnp.int32)
+            logits, cache = qwen2.forward(
+                qparams, cfg, input_ids=tok[:, None], positions=pos,
+                cache=cache,
+            )
+            outs.append(np.asarray(logits[:, 0]))
+            tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            toks.append(np.asarray(tok))
+        return np.stack(toks), np.stack(outs)
+
+    monkeypatch.setenv("VILA_TPU_NO_FUSED_DECODE", "1")
+    toks_ref, logits_ref = decode(4)
+    monkeypatch.delenv("VILA_TPU_NO_FUSED_DECODE")
+    toks_fused, logits_fused = decode(4)
+
+    np.testing.assert_array_equal(toks_ref, toks_fused)
+    np.testing.assert_allclose(logits_ref, logits_fused, atol=2e-2, rtol=0.05)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -320,27 +321,9 @@ def forward(
             return _qlinear_stacked(x, name, lp, l)
         return _linear(x, lp[name], dtype, fp8)
 
-    def layer_fn(carry, xs):
-        # Decode: the FULL (L, ...) KV cache rides the scan carry and is
-        # updated in place (donated loop buffer). Passing per-layer cache
-        # through xs/ys instead makes XLA stack fresh ys and copy the
-        # whole cache every step — profiled at ~0.75 ms/step on v5e for
-        # the 8B shape (2× full-cache copies + per-layer update copies).
-        h, ck_all, cv_all = carry
-        l, lp = xs
-        x = rms_norm(h, lp["input_layernorm"]["scale"], cfg.rms_norm_eps)
-        if "qkv_proj" in lp:
-            # fused projection (quantized decode path): one wide matmul
-            qkv = lin(x, "qkv_proj", lp, l)
-            q, k, v = (
-                qkv[..., :nq],
-                qkv[..., nq : nq + nkv],
-                qkv[..., nq + nkv :],
-            )
-        else:
-            q = lin(x, "q_proj", lp, l)
-            k = lin(x, "k_proj", lp, l)
-            v = lin(x, "v_proj", lp, l)
+    def _attend(q, k, v, ck_all, cv_all, l):
+        """RoPE + cache update + attention; shared by the plain and fused
+        layer bodies. q/k/v: (b, s, H*hd) flat projections."""
         q = q.reshape(b, s, cfg.num_attention_heads, cfg.head_dim_)
         k = k.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim_)
         v = v.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim_)
@@ -412,6 +395,30 @@ def forward(
             )
 
         attn = attn.reshape(b, s, cfg.num_attention_heads * cfg.head_dim_)
+        return attn, ck_all, cv_all
+
+    def layer_fn(carry, xs):
+        # Decode: the FULL (L, ...) KV cache rides the scan carry and is
+        # updated in place (donated loop buffer). Passing per-layer cache
+        # through xs/ys instead makes XLA stack fresh ys and copy the
+        # whole cache every step — profiled at ~0.75 ms/step on v5e for
+        # the 8B shape (2× full-cache copies + per-layer update copies).
+        h, ck_all, cv_all = carry
+        l, lp = xs
+        x = rms_norm(h, lp["input_layernorm"]["scale"], cfg.rms_norm_eps)
+        if "qkv_proj" in lp:
+            # fused projection (quantized decode path): one wide matmul
+            qkv = lin(x, "qkv_proj", lp, l)
+            q, k, v = (
+                qkv[..., :nq],
+                qkv[..., nq : nq + nkv],
+                qkv[..., nq + nkv :],
+            )
+        else:
+            q = lin(x, "q_proj", lp, l)
+            k = lin(x, "k_proj", lp, l)
+            v = lin(x, "v_proj", lp, l)
+        attn, ck_all, cv_all = _attend(q, k, v, ck_all, cv_all, l)
         h = h + lin(attn, "o_proj", lp, l)
 
         x = rms_norm(h, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
@@ -424,6 +431,51 @@ def forward(
         h = h + lin(jax.nn.silu(gate) * up, "down_proj", lp, l)
         return (h, ck_all, cv_all), None
 
+    def fused_layer_fn(carry, l):
+        # Fused-kernel decode body (ops/fused_decode.py): the scan carries
+        # the CURRENT layer's qkv projection, produced by the previous
+        # layer's fused_down_qkv kernel, so each body is attention ->
+        # [o+norm+gate_up] -> [down+norm+qkv_{l+1}] — two long weight
+        # streams whose DMAs are all issued at kernel entry.
+        from vila_tpu.ops import fused_decode
+
+        h, qkv_flat, ck_all, cv_all = carry
+        qkv = qkv_flat.reshape(b, s, -1).astype(dtype)
+        q, k, v = (
+            qkv[..., :nq],
+            qkv[..., nq : nq + nkv],
+            qkv[..., nq + nkv :],
+        )
+        attn, ck_all, cv_all = _attend(q, k, v, ck_all, cv_all, l)
+        h2, gu = fused_decode.fused_o_gateup(
+            attn.reshape(b * s, -1).astype(jnp.bfloat16),
+            h.reshape(b * s, -1),
+            l,
+            q_stacked["o_proj"],
+            q_stacked["gate_up_proj"],
+            all_layers["post_attention_layernorm"]["scale"],
+            eps=cfg.rms_norm_eps,
+        )
+        h2, qkv_next = fused_decode.fused_down_qkv(
+            gu, h2, l,
+            q_stacked["down_proj"],
+            q_stacked["qkv_proj"],
+            all_layers["input_layernorm"]["scale"],
+            eps=cfg.rms_norm_eps,
+        )
+        return (h2.reshape(b, s, -1).astype(dtype), qkv_next,
+                ck_all, cv_all), None
+
+    use_fused = (
+        cache is not None
+        and s == 1
+        and b * s <= 32
+        and {"qkv_proj", "o_proj", "gate_up_proj", "down_proj"}
+        <= set(q_stacked)
+        and all_layers["input_layernorm"]["scale"].ndim == 2
+        and not os.environ.get("VILA_TPU_NO_FUSED_DECODE")
+    )
+
     body = layer_fn
     if cfg.remat:
         body = jax.checkpoint(
@@ -432,14 +484,34 @@ def forward(
 
     L = cfg.num_hidden_layers
     layer_ids = jnp.arange(L, dtype=jnp.int32)
-    xs = (layer_ids, sliced_layers)
-    if cache is not None:
-        carry0 = (h, cache["k"], cache["v"])
+    if use_fused:
+        # Layer 0's qkv is produced outside the scan; layer l's body then
+        # emits layer l+1's.
+        x0 = rms_norm(
+            h, all_layers["input_layernorm"]["scale"][0], cfg.rms_norm_eps
+        )
+        qkv0 = _qlinear_stacked(
+            x0, "qkv_proj", {"qkv_proj": {}}, jnp.zeros((), jnp.int32)
+        )
+        qslot = q_stacked["qkv_proj"]
+        if "bias" in qslot:
+            qkv0 = qkv0 + qslot["bias"][0].astype(dtype)
+        carry0 = (
+            h, qkv0.reshape(b * s, -1).astype(jnp.bfloat16),
+            cache["k"], cache["v"],
+        )
+        (h, _, new_k, new_v), _ = jax.lax.scan(
+            fused_layer_fn, carry0, layer_ids
+        )
     else:
-        dummy = jnp.zeros((0,), dtype)
-        carry0 = (h, dummy, dummy)
+        xs = (layer_ids, sliced_layers)
+        if cache is not None:
+            carry0 = (h, cache["k"], cache["v"])
+        else:
+            dummy = jnp.zeros((0,), dtype)
+            carry0 = (h, dummy, dummy)
 
-    (h, new_k, new_v), _ = jax.lax.scan(body, carry0, xs)
+        (h, new_k, new_v), _ = jax.lax.scan(body, carry0, xs)
 
     new_cache = None
     if cache is not None:

@@ -1,0 +1,506 @@
+"""Fused per-layer W4 decode kernels: two long weight streams per layer.
+
+Decode on TPU is HBM-bandwidth-bound: the chip must stream every weight
+byte once per token. Four separate matmul kernels per layer
+(qkv / o / gate_up / down, `ops/quant.py`) leave two stalls each — the
+pipeline fill before the first block lands and the compute tail after the
+last — plus XLA-op gaps (norms, silu) between kernels where the DMA engine
+idles. Profiled on v5e (8B shape): the short qkv/o streams run at ~560-580
+GB/s vs ~730 GB/s for the long gate_up stream, ~0.4 ms/step of stall.
+
+This module fuses each decoder layer into TWO kernels whose weight DMAs
+are all issued eagerly at kernel entry, so the weight stream never stops:
+
+  * `fused_o_gateup`:  acc = attn @ W_o;  h += acc;  x = rmsnorm(h)*g;
+                       gu = x @ W_gate_up
+  * `fused_down_qkv`:  m = silu(gate)*up;  acc = m @ W_down;  h += acc;
+                       x = rmsnorm(h)*g[l+1];  qkv = x @ W_qkv[l+1] + b
+
+The second kernel computes the NEXT layer's qkv projection, so the decode
+scan carries (h, qkv) and each layer body is: attention (XLA) → kernel A →
+kernel B. Between the two kernels of one layer and across the attention
+gap, the other kernel's DMAs are already in flight.
+
+Weight math is identical to `ops/quant.py` (shift-free nibble unpack,
+per-row int8 digit activations, int8 MXU dots, rowsum zero-point
+correction); norms use f32 statistics (HF parity, `ops/norms.py`).
+
+Off-TPU the public functions compose the existing grid kernels + XLA norms
+(interpret-mode reference used by the CPU parity tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vila_tpu.ops.quant import (
+    _d8,
+    _interpret,
+    _prequantize_plane,
+    _tiled_meta,
+    _unpack_planes,
+)
+
+_ACT_DIGITS = 2
+
+
+def _block_compute(digits_lo, digits_hi, p_read, s_read, *, bm, bout,
+                   group_size, n_groups):
+    """One weight block: unpack + int8 MXU dots + scale. Same math as
+    quant._w4_decode_manual_kernel.compute_block; f32 (bm, bout) result.
+
+    p_read(sl) -> (group_size, bout) packed rows; s_read(g) -> (bout,)."""
+    acc = jnp.zeros((bm, bout), jnp.float32)
+    for g in range(n_groups):
+        sl = slice(g * group_size, (g + 1) * group_size)
+        lo, h16 = _unpack_planes(p_read(sl))
+        s_l = s_read(g).astype(jnp.float32)[None, :]
+        s_h = s_read(n_groups + g).astype(jnp.float32)[None, :] / 16.0
+        for q, sx, csum in digits_lo:
+            acc += (_d8(q[:, sl], lo) - 8.0 * csum[:, g: g + 1]) * (sx * s_l)
+        for q, sx, csum in digits_hi:
+            acc += _d8(q[:, sl], h16) * (sx * s_h)
+    return acc
+
+
+def _quant_planes(x, group_size, n_groups):
+    half = x.shape[1] // 2
+    lo = _prequantize_plane(x[:, :half], _ACT_DIGITS, group_size, n_groups)
+    hi = _prequantize_plane(x[:, half:], _ACT_DIGITS, group_size, n_groups)
+    return lo, hi
+
+
+def _rms_scale(h32, gamma_row, eps):
+    var = jnp.mean(jnp.square(h32), axis=-1, keepdims=True)
+    return (h32 * jax.lax.rsqrt(var + eps)) * gamma_row.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: o_proj -> residual -> rmsnorm -> gate_up
+# ---------------------------------------------------------------------------
+
+
+def _fused_o_gateup_kernel(
+    l_ref,  # (1,) scalar prefetch: [l]
+    attn_ref,  # (bm, D) bf16
+    h_ref,  # (bm, D) bf16
+    gamma_ref,  # (1, D) bf16 — this layer's post_attention_layernorm row
+    o_p,  # (L, nj_o, half_o, bo) uint8 HBM
+    o_s,  # (L, nj_o, sr_o, bo) bf16 HBM
+    g_p,  # (L, nj_g, half_g, bg) uint8 HBM
+    g_s,  # (L, nj_g, sr_g, bg) bf16 HBM
+    h_out,  # (bm, D) bf16
+    gu_out,  # (bm, 2I) bf16
+    *,
+    mo, mg, n_bo, n_bg, eps,
+):
+    l = l_ref[0]
+    bm = attn_ref.shape[0]
+    (half_o, bo, nj_o, ngh_o, gs_o) = mo
+    (half_g, bg, nj_g, ngh_g, gs_g) = mg
+
+    def body(o_bufs, o_sb, g_bufs, g_sb, o_sem, o_ssem, g_sem, g_ssem):
+        def dma_o(slot, j):
+            return (pltpu.make_async_copy(o_p.at[l, j], o_bufs.at[slot],
+                                          o_sem.at[slot]),
+                    pltpu.make_async_copy(o_s.at[l, j], o_sb.at[slot],
+                                          o_ssem.at[slot]))
+
+        def dma_g(slot, j):
+            return (pltpu.make_async_copy(g_p.at[l, j], g_bufs.at[slot],
+                                          g_sem.at[slot]),
+                    pltpu.make_async_copy(g_s.at[l, j], g_sb.at[slot],
+                                          g_ssem.at[slot]))
+
+        # Issue both streams' heads eagerly: the gate_up weights do not
+        # depend on the o result, so their DMAs overlap the o compute.
+        for t in range(n_bo):
+            for d in dma_o(t, t):
+                d.start()
+        for t in range(n_bg):
+            for d in dma_g(t, t):
+                d.start()
+
+        lo_d, hi_d = _quant_planes(attn_ref[:], gs_o, ngh_o)
+
+        cols = []
+        for j in range(nj_o):  # static unroll: nj_o is small
+            slot = j % n_bo
+            for d in dma_o(slot, j):
+                d.wait()
+            cols.append(_block_compute(
+                lo_d, hi_d,
+                lambda sl, slot=slot: o_bufs[slot, sl, :],
+                lambda g, slot=slot: o_sb[slot, g, :],
+                bm=bm, bout=bo, group_size=gs_o, n_groups=ngh_o,
+            ))
+            if j + n_bo < nj_o:
+                for d in dma_o(slot, j + n_bo):
+                    d.start()
+        acc_o = jnp.concatenate(cols, axis=1)  # (bm, D) f32
+
+        h32 = h_ref[:].astype(jnp.float32) + acc_o
+        h_out[:] = h32.astype(h_out.dtype)
+        x = _rms_scale(h32, gamma_ref[0], eps).astype(jnp.bfloat16)
+        glo_d, ghi_d = _quant_planes(x, gs_g, ngh_g)
+
+        def loop(j, carry):
+            slot = j % n_bg
+            for d in dma_g(slot, j):
+                d.wait()
+            blk = _block_compute(
+                glo_d, ghi_d,
+                lambda sl: g_bufs[slot, sl, :],
+                lambda g: g_sb[slot, g, :],
+                bm=bm, bout=bg, group_size=gs_g, n_groups=ngh_g,
+            )
+            off = pl.multiple_of(j * bg, bg)
+            gu_out[:, pl.ds(off, bg)] = blk.astype(gu_out.dtype)
+
+            @pl.when(j + n_bg < nj_g)
+            def _():
+                for d in dma_g(slot, j + n_bg):
+                    d.start()
+
+            return carry
+
+        jax.lax.fori_loop(0, nj_g, loop, 0)
+
+    pl.run_scoped(
+        body,
+        o_bufs=pltpu.VMEM((n_bo, half_o, bo), jnp.uint8),
+        o_sb=pltpu.VMEM((n_bo, o_s.shape[-2], bo), jnp.bfloat16),
+        g_bufs=pltpu.VMEM((n_bg, half_g, bg), jnp.uint8),
+        g_sb=pltpu.VMEM((n_bg, g_s.shape[-2], bg), jnp.bfloat16),
+        o_sem=pltpu.SemaphoreType.DMA((n_bo,)),
+        o_ssem=pltpu.SemaphoreType.DMA((n_bo,)),
+        g_sem=pltpu.SemaphoreType.DMA((n_bg,)),
+        g_ssem=pltpu.SemaphoreType.DMA((n_bg,)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: silu-mul -> down -> residual -> rmsnorm -> qkv of layer l+1
+# ---------------------------------------------------------------------------
+
+
+def _fused_down_qkv_kernel(
+    l_ref,  # (2,) scalar prefetch: [l, l_next]
+    gu_ref,  # (bm, 2I) bf16
+    h_ref,  # (bm, D) bf16
+    gamma_ref,  # (1, D) bf16 — layer l+1's input_layernorm row
+    bias_ref,  # (1, dqkv) bf16 — layer l+1's qkv bias row
+    d_p,  # (L, nj_d, half_d, bd) uint8 HBM
+    d_s,
+    q_p,  # (L, nj_q, half_q, bq) uint8 HBM
+    q_s,
+    h_out,  # (bm, D) bf16
+    qkv_out,  # (bm, dqkv) bf16
+    *,
+    md, mq, n_bd, n_bq, eps,
+):
+    l = l_ref[0]
+    l_next = l_ref[1]
+    bm = gu_ref.shape[0]
+    (half_d, bd, nj_d, ngh_d, gs_d) = md
+    (half_q, bq, nj_q, ngh_q, gs_q) = mq
+    inter = 2 * half_d  # I == din of down_proj
+
+    def body(d_bufs, d_sb, q_bufs, q_sb, d_acc,
+             d_sem, d_ssem, q_sem, q_ssem):
+        def dma_d(slot, j):
+            return (pltpu.make_async_copy(d_p.at[l, j], d_bufs.at[slot],
+                                          d_sem.at[slot]),
+                    pltpu.make_async_copy(d_s.at[l, j], d_sb.at[slot],
+                                          d_ssem.at[slot]))
+
+        def dma_q(slot, j):
+            return (pltpu.make_async_copy(q_p.at[l_next, j], q_bufs.at[slot],
+                                          q_sem.at[slot]),
+                    pltpu.make_async_copy(q_s.at[l_next, j], q_sb.at[slot],
+                                          q_ssem.at[slot]))
+
+        for t in range(n_bd):
+            for d in dma_d(t, t):
+                d.start()
+        if nj_d <= n_bd:
+            # whole down stream buffered: qkv can queue immediately
+            for t in range(min(n_bq, nj_q)):
+                for d in dma_q(t, t):
+                    d.start()
+
+        gu32 = gu_ref[:].astype(jnp.float32)
+        gate, up = gu32[:, :inter], gu32[:, inter:]
+        m_act = (gate * jax.nn.sigmoid(gate) * up).astype(jnp.bfloat16)
+        lo_d, hi_d = _quant_planes(m_act, gs_d, ngh_d)
+
+        def loop(j, carry):
+            slot = j % n_bd
+            for d in dma_d(slot, j):
+                d.wait()
+            blk = _block_compute(
+                lo_d, hi_d,
+                lambda sl: d_bufs[slot, sl, :],
+                lambda g: d_sb[slot, g, :],
+                bm=bm, bout=bd, group_size=gs_d, n_groups=ngh_d,
+            )
+            off = pl.multiple_of(j * bd, bd)
+            d_acc[:, pl.ds(off, bd)] = blk
+
+            @pl.when(j + n_bd < nj_d)
+            def _():
+                for d in dma_d(slot, j + n_bd):
+                    d.start()
+
+            if nj_d > n_bd:
+                # DMA queues drain in issue order: queue the qkv head only
+                # once the LAST down refill has been issued, so qkv bytes
+                # never sit ahead of down blocks and stall the down stream.
+                @pl.when(j == nj_d - n_bd - 1)
+                def _():
+                    for t in range(min(n_bq, nj_q)):
+                        for d in dma_q(t, t):
+                            d.start()
+
+            return carry
+
+        jax.lax.fori_loop(0, nj_d, loop, 0)
+
+        h32 = h_ref[:].astype(jnp.float32) + d_acc[:]
+        h_out[:] = h32.astype(h_out.dtype)
+        x = _rms_scale(h32, gamma_ref[0], eps).astype(jnp.bfloat16)
+        qlo_d, qhi_d = _quant_planes(x, gs_q, ngh_q)
+        bias = bias_ref[0]
+
+        for j in range(nj_q):  # static unroll: nj_q is small
+            slot = j % n_bq
+            for d in dma_q(slot, j):
+                d.wait()
+            blk = _block_compute(
+                qlo_d, qhi_d,
+                lambda sl, slot=slot: q_bufs[slot, sl, :],
+                lambda g, slot=slot: q_sb[slot, g, :],
+                bm=bm, bout=bq, group_size=gs_q, n_groups=ngh_q,
+            )
+            blk = blk + bias[j * bq: (j + 1) * bq].astype(
+                jnp.float32)[None, :]
+            qkv_out[:, j * bq: (j + 1) * bq] = blk.astype(qkv_out.dtype)
+            if j + n_bq < nj_q:
+                for d in dma_q(slot, j + n_bq):
+                    d.start()
+
+    pl.run_scoped(
+        body,
+        d_bufs=pltpu.VMEM((n_bd, half_d, bd), jnp.uint8),
+        d_sb=pltpu.VMEM((n_bd, d_s.shape[-2], bd), jnp.bfloat16),
+        q_bufs=pltpu.VMEM((n_bq, half_q, bq), jnp.uint8),
+        q_sb=pltpu.VMEM((n_bq, q_s.shape[-2], bq), jnp.bfloat16),
+        d_acc=pltpu.VMEM((gu_ref.shape[0], md[1] * md[2]), jnp.float32),
+        d_sem=pltpu.SemaphoreType.DMA((n_bd,)),
+        d_ssem=pltpu.SemaphoreType.DMA((n_bd,)),
+        q_sem=pltpu.SemaphoreType.DMA((n_bq,)),
+        q_ssem=pltpu.SemaphoreType.DMA((n_bq,)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public wrappers (+ interpret-mode reference path)
+# ---------------------------------------------------------------------------
+
+
+def _meta5(slot):
+    half, bout, nj, ngh, gs, _, _ = _tiled_meta(slot["packed"], slot["scales"])
+    return (half, bout, nj, ngh, gs)
+
+
+def _pad_rows(x, bm):
+    if x.shape[0] == bm:
+        return x
+    return jax.lax.dynamic_update_slice(
+        jnp.zeros((bm, x.shape[1]), x.dtype), x, (0, 0)
+    )
+
+
+def fused_o_gateup(
+    attn_out: jnp.ndarray,  # (m, D) bf16
+    h: jnp.ndarray,  # (m, D)
+    layer_index: jnp.ndarray,  # () int32
+    o_slot: Dict[str, Any],  # stacked (L, ...) packed/scales
+    gu_slot: Dict[str, Any],
+    gamma_post: jnp.ndarray,  # (L, D)
+    eps: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (h_new, gate_up) for the layer. TPU: one fused kernel;
+    off-TPU: reference composition of the grid kernels + XLA norm."""
+    if _interpret():
+        from vila_tpu.ops.quant import w4_matmul_decode
+
+        acc = w4_matmul_decode(attn_out, o_slot["packed"], o_slot["scales"],
+                               layer_index=layer_index)
+        h32 = h.astype(jnp.float32) + acc.astype(jnp.float32)
+        h_new = h32.astype(h.dtype)
+        gamma = jax.lax.dynamic_index_in_dim(gamma_post, layer_index, 0,
+                                             keepdims=False)
+        x = _rms_scale(h32, gamma, eps).astype(jnp.bfloat16)
+        gu = w4_matmul_decode(x, gu_slot["packed"], gu_slot["scales"],
+                              layer_index=layer_index)
+        return h_new, gu
+
+    m, d_model = attn_out.shape
+    bm = max(8, ((m + 7) // 8) * 8)
+    attn_out = _pad_rows(attn_out.astype(jnp.bfloat16), bm)
+    h = _pad_rows(h, bm)
+    mo = _meta5(o_slot)
+    mg = _meta5(gu_slot)
+    # Buffer the WHOLE o stream when it fits: all its DMAs queue before the
+    # gate_up ones, so the (FIFO) DMA queue never interleaves the streams.
+    o_block = mo[0] * mo[1]
+    n_bo = mo[2] if mo[2] * o_block <= (8 << 20) else max(
+        2, (6 << 20) // o_block
+    )
+    n_bg = min(4, mg[2])
+    dout_g = mg[1] * mg[2]
+
+    h_new, gu = pl.pallas_call(
+        functools.partial(
+            _fused_o_gateup_kernel,
+            mo=mo, mg=mg, n_bo=n_bo, n_bg=n_bg, eps=eps,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # attn
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # h
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # gamma row
+                pl.BlockSpec(memory_space=pltpu.ANY),  # o packed
+                pl.BlockSpec(memory_space=pltpu.ANY),  # o scales
+                pl.BlockSpec(memory_space=pltpu.ANY),  # gu packed
+                pl.BlockSpec(memory_space=pltpu.ANY),  # gu scales
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bm, d_model), h.dtype),
+            jax.ShapeDtypeStruct((bm, dout_g), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 << 20,
+        ),
+    )(
+        jnp.asarray(layer_index, jnp.int32).reshape(1),
+        attn_out, h,
+        jax.lax.dynamic_index_in_dim(
+            gamma_post.astype(jnp.bfloat16), layer_index, 0
+        ),
+        o_slot["packed"], o_slot["scales"],
+        gu_slot["packed"], gu_slot["scales"],
+    )
+    return h_new[:m], gu[:m]
+
+
+def fused_down_qkv(
+    gu: jnp.ndarray,  # (m, 2I) bf16
+    h: jnp.ndarray,  # (m, D)
+    layer_index: jnp.ndarray,  # () int32 — CURRENT layer l
+    down_slot: Dict[str, Any],
+    qkv_slot: Dict[str, Any],  # with optional "bias" (L, dqkv)
+    gamma_in: jnp.ndarray,  # (L, D) input_layernorm scales
+    eps: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (h_new, qkv_of_layer_l_plus_1). The last layer streams its
+    own qkv again (clamped l+1) — the caller discards it; cheaper than a
+    branch that would split the decode scan body."""
+    L = down_slot["packed"].shape[0]
+    l_next = jnp.minimum(layer_index + 1, L - 1)
+    dqkv = qkv_slot["packed"].shape[1] * qkv_slot["packed"].shape[-1]
+    bias = qkv_slot.get("bias")
+    if bias is None:
+        bias = jnp.zeros((L, dqkv), jnp.bfloat16)
+    if _interpret():
+        from vila_tpu.ops.quant import w4_matmul_decode
+
+        inter = gu.shape[1] // 2
+        gu32 = gu.astype(jnp.float32)
+        m_act = (jax.nn.silu(gu32[:, :inter]) * gu32[:, inter:]).astype(
+            jnp.bfloat16
+        )
+        acc = w4_matmul_decode(m_act, down_slot["packed"],
+                               down_slot["scales"], layer_index=layer_index)
+        h32 = h.astype(jnp.float32) + acc.astype(jnp.float32)
+        h_new = h32.astype(h.dtype)
+        gamma = jax.lax.dynamic_index_in_dim(gamma_in, l_next, 0,
+                                             keepdims=False)
+        x = _rms_scale(h32, gamma, eps).astype(jnp.bfloat16)
+        qkv = w4_matmul_decode(x, qkv_slot["packed"], qkv_slot["scales"],
+                               layer_index=l_next)
+        qkv = qkv + jax.lax.dynamic_index_in_dim(
+            bias, l_next, 0, keepdims=False
+        ).astype(qkv.dtype)[None, :]
+        return h_new, qkv
+
+    m, _ = gu.shape
+    d_model = h.shape[1]
+    bm = max(8, ((m + 7) // 8) * 8)
+    gu = _pad_rows(gu.astype(jnp.bfloat16), bm)
+    h = _pad_rows(h, bm)
+    md = _meta5(down_slot)
+    mq = _meta5(qkv_slot)
+    # v5e VMEM comfortably holds ~20MB of stream buffers (measured): keep
+    # 3 down blocks (even at the wide 4.85MB bout) + the whole qkv stream
+    n_bd = min(3, md[2])
+    n_bq = min(4, mq[2])
+
+    h_new, qkv = pl.pallas_call(
+        functools.partial(
+            _fused_down_qkv_kernel,
+            md=md, mq=mq, n_bd=n_bd, n_bq=n_bq, eps=eps,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # gu
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # h
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # gamma row
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # bias row
+                pl.BlockSpec(memory_space=pltpu.ANY),  # down packed
+                pl.BlockSpec(memory_space=pltpu.ANY),  # down scales
+                pl.BlockSpec(memory_space=pltpu.ANY),  # qkv packed
+                pl.BlockSpec(memory_space=pltpu.ANY),  # qkv scales
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bm, d_model), h.dtype),
+            jax.ShapeDtypeStruct((bm, dqkv), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 << 20,
+        ),
+    )(
+        jnp.stack([jnp.asarray(layer_index, jnp.int32),
+                   jnp.asarray(l_next, jnp.int32)]),
+        gu, h,
+        jax.lax.dynamic_index_in_dim(
+            gamma_in.astype(jnp.bfloat16), l_next, 0
+        ),
+        jax.lax.dynamic_index_in_dim(
+            bias.astype(jnp.bfloat16), l_next, 0
+        ),
+        down_slot["packed"], down_slot["scales"],
+        qkv_slot["packed"], qkv_slot["scales"],
+    )
+    return h_new[:m], qkv[:m]

@@ -51,22 +51,25 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def pick_bout(din: int, dout: int) -> int:
+def pick_bout(din: int, dout: int, budget: int = _VMEM_BLOCK_BUDGET) -> int:
     """Largest 128-multiple divisor of dout whose packed block fits VMEM.
 
     No padding is ever introduced, so all dims stay derivable from shapes.
+    A larger `budget` gives wider blocks — used for tall matrices (down_proj:
+    din 19k, dout 3.6k) where the default yields 256-lane blocks that DMA
+    ~10% below the wide-block rate on v5e.
     """
     half = din // 2
     best = 0
     b = 128
     while b <= dout:
-        if dout % b == 0 and half * b <= _VMEM_BLOCK_BUDGET:
+        if dout % b == 0 and half * b <= budget:
             best = b
         b += 128
     if best == 0:
         # No 128-multiple divisor (small/test models): a block equal to the
         # full array dim is always legal for Mosaic.
-        assert half * dout <= _VMEM_BLOCK_BUDGET, (din, dout)
+        assert half * dout <= budget, (din, dout)
         best = dout
     return best
 
@@ -926,14 +929,18 @@ def quantize_llm_params(
         "post_attention_layernorm": src["post_attention_layernorm"],
     }
 
-    def qslot(kernel, bias=None):
+    def qslot(kernel, bias=None, bout_budget=None):
         # largest group <= requested that divides the half-contraction
         # (small/test models have odd dims; real NVILA dims keep 128)
         half = kernel.shape[-2] // 2
         g = group_size
         while half % g != 0:
             g -= 1
-        q = quantize_w4(kernel, g)
+        bout = None
+        if bout_budget is not None:
+            bout = pick_bout(kernel.shape[-2], kernel.shape[-1],
+                             budget=bout_budget)
+        q = quantize_w4(kernel, g, bout=bout)
         slot = {"packed": q["packed"], "scales": q["scales"]}
         if bias is not None:
             slot["bias"] = bias
@@ -955,8 +962,10 @@ def quantize_llm_params(
         )
         layers["gate_up_proj"] = qslot(gu_k)
         layers["o_proj"] = qslot(src["o_proj"]["kernel"], src["o_proj"].get("bias"))
+        # down is tall (din ~5x dout): a wider block DMAs ~10% faster
         layers["down_proj"] = qslot(
-            src["down_proj"]["kernel"], src["down_proj"].get("bias")
+            src["down_proj"]["kernel"], src["down_proj"].get("bias"),
+            bout_budget=5 << 20,
         )
     else:
         for name in (
