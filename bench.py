@@ -82,7 +82,9 @@ def build_8b_quantized(dtype="bfloat16"):
             "input_layernorm": {"scale": jnp.ones((L, D), jnp.bfloat16)},
             # fused projections (quantize_llm_params(fuse=True) layout)
             "qkv_proj": qslot(D, (Hq + 2 * Hkv) * hd, bias=True),
-            "o_proj": qslot(Hq * hd, D),
+            # GQA-group-padded o rows (quant.pad_o_heads layout): enables
+            # the single-kernel decode layer (fused_decode.fused_layer)
+            "o_proj": qslot(Hkv * 8 * hd, D),
             "post_attention_layernorm": {"scale": jnp.ones((L, D), jnp.bfloat16)},
             "gate_up_proj": qslot(D, 2 * I),
             # wider blocks for the tall matrix (quantize_llm_params parity)

@@ -174,3 +174,76 @@ def test_fused_decode_kernels_match_per_op_path(monkeypatch):
 
     np.testing.assert_array_equal(toks_ref, toks_fused)
     np.testing.assert_allclose(logits_ref, logits_fused, atol=2e-2, rtol=0.05)
+
+
+def test_mega_decode_kernel_matches_per_op_path(monkeypatch):
+    """The single-kernel decode layer (fused_decode.fused_layer: attention +
+    o + gate_up + down + next-qkv) with the GQA-padded o layout reproduces
+    the per-op path (greedy tokens identical, logits close)."""
+    from vila_tpu.models import qwen2
+
+    cfg = qwen2.LLMConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        dtype="float32", tie_word_embeddings=True,
+    )
+    params = qwen2.init_params(jax.random.PRNGKey(3), cfg)
+    # cfg enables pad_o_heads: G=2 -> padded to 8 per kv head
+    qparams = quant.quantize_llm_params(params, group_size=128, fuse=True,
+                                        cfg=cfg)
+    o_din = 2 * qparams["layers"]["o_proj"]["packed"].shape[-2]
+    assert o_din == cfg.num_key_value_heads * 8 * cfg.head_dim_
+
+    rng = np.random.default_rng(3)
+    prompt = jnp.asarray(rng.integers(0, 128, (1, 5)), jnp.int32)
+
+    def decode(n_steps):
+        cache = qwen2.init_cache(cfg, batch=1, max_len=32)
+        logits, cache = qwen2.forward(
+            qparams, cfg, input_ids=prompt, cache=cache
+        )
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        toks, outs = [np.asarray(tok)], []
+        for i in range(n_steps):
+            pos = jnp.full((1, 1), prompt.shape[1] + i, jnp.int32)
+            logits, cache = qwen2.forward(
+                qparams, cfg, input_ids=tok[:, None], positions=pos,
+                cache=cache,
+            )
+            outs.append(np.asarray(logits[:, 0]))
+            tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            toks.append(np.asarray(tok))
+        return np.stack(toks), np.stack(outs)
+
+    monkeypatch.setenv("VILA_TPU_NO_MEGA_DECODE", "1")
+    toks_ref, logits_ref = decode(4)
+    monkeypatch.delenv("VILA_TPU_NO_MEGA_DECODE")
+    toks_mega, logits_mega = decode(4)
+
+    np.testing.assert_array_equal(toks_ref, toks_mega)
+    np.testing.assert_allclose(logits_ref, logits_mega, atol=3e-2, rtol=0.05)
+
+
+def test_padded_o_batch_path(monkeypatch):
+    """b>1 decode (continuous batching) with the padded o layout uses the
+    A/B fused kernels with zero-padded attention lanes — same results as
+    the unpadded layout."""
+    from vila_tpu.models import qwen2
+
+    cfg = qwen2.LLMConfig(
+        vocab_size=64, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        dtype="float32",
+    )
+    params = qwen2.init_params(jax.random.PRNGKey(4), cfg)
+    q_pad = quant.quantize_llm_params(params, fuse=True, cfg=cfg)
+    q_plain = quant.quantize_llm_params(params, fuse=True)
+    ids = jnp.asarray(
+        np.random.default_rng(4).integers(0, 64, (2, 1)), jnp.int32
+    )
+    cache_a = qwen2.init_cache(cfg, batch=2, max_len=16)
+    cache_b = qwen2.init_cache(cfg, batch=2, max_len=16)
+    a, _ = qwen2.forward(q_pad, cfg, input_ids=ids, cache=cache_a)
+    b, _ = qwen2.forward(q_plain, cfg, input_ids=ids, cache=cache_b)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-2, rtol=0.05)

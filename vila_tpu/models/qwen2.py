@@ -156,7 +156,13 @@ def init_cache(
     """
     dtype = dtype or cfg.compute_dtype
     L = cfg.num_hidden_layers
-    shape = (L, batch, max_len, cfg.num_key_value_heads, cfg.head_dim_)
+    # KV stored FLAT (heads*head_dim fused) so the decode megakernel can DMA
+    # a layer's KV as one contiguous (S, Hkv*hd) block straight out of the
+    # cache — a (.., Hkv, hd) layout gets transposed by XLA (S into
+    # sublanes) and any reshape back costs a full-cache relayout.
+    shape = (
+        L, batch, max_len, cfg.num_key_value_heads * cfg.head_dim_,
+    )
     fill_shape = (batch,) if per_slot_fill else ()
     return {
         "k": jnp.zeros(shape, dtype),
@@ -332,6 +338,8 @@ def forward(
 
         if cache is not None:
             fill = cache["fill"]
+            kf = k.reshape(b, s, -1)  # flat (b, s, Hkv*hd) cache rows
+            vf = v.reshape(b, s, -1)
             # Read the layer's slice FIRST, then write the tiny s-token
             # update into the carried buffer: read-old-then-update lets XLA
             # keep the (L, ...) cache update in place. (Write-then-slice
@@ -344,32 +352,39 @@ def forward(
                 rr = jnp.broadcast_to(rows, (b, s))
                 l_idx = jnp.broadcast_to(l, (b, s))
                 ck = ck.at[rr, write_rows].set(
-                    k.astype(ck.dtype), mode="drop"
+                    kf.astype(ck.dtype), mode="drop"
                 )
                 cv = cv.at[rr, write_rows].set(
-                    v.astype(cv.dtype), mode="drop"
+                    vf.astype(cv.dtype), mode="drop"
                 )
                 ck_all = ck_all.at[l_idx, rr, write_rows].set(
-                    k.astype(ck_all.dtype), mode="drop"
+                    kf.astype(ck_all.dtype), mode="drop"
                 )
                 cv_all = cv_all.at[l_idx, rr, write_rows].set(
-                    v.astype(cv_all.dtype), mode="drop"
+                    vf.astype(cv_all.dtype), mode="drop"
                 )
             else:
                 ck = jax.lax.dynamic_update_slice(
-                    ck, k.astype(ck.dtype), (0, fill, 0, 0)
+                    ck, kf.astype(ck.dtype), (0, fill, 0)
                 )
                 cv = jax.lax.dynamic_update_slice(
-                    cv, v.astype(cv.dtype), (0, fill, 0, 0)
+                    cv, vf.astype(cv.dtype), (0, fill, 0)
                 )
                 ck_all = jax.lax.dynamic_update_slice(
-                    ck_all, k.astype(ck_all.dtype)[None],
-                    (l, 0, fill, 0, 0),
+                    ck_all, kf.astype(ck_all.dtype)[None],
+                    (l, 0, fill, 0),
                 )
                 cv_all = jax.lax.dynamic_update_slice(
-                    cv_all, v.astype(cv_all.dtype)[None],
-                    (l, 0, fill, 0, 0),
+                    cv_all, vf.astype(cv_all.dtype)[None],
+                    (l, 0, fill, 0),
                 )
+            max_len = ck.shape[1]
+            ck = ck.reshape(
+                b, max_len, cfg.num_key_value_heads, cfg.head_dim_
+            )
+            cv = cv.reshape(
+                b, max_len, cfg.num_key_value_heads, cfg.head_dim_
+            )
             attn = multi_head_attention(
                 q, ck.astype(dtype), cv.astype(dtype),
                 causal=True,
@@ -419,7 +434,7 @@ def forward(
             k = lin(x, "k_proj", lp, l)
             v = lin(x, "v_proj", lp, l)
         attn, ck_all, cv_all = _attend(q, k, v, ck_all, cv_all, l)
-        h = h + lin(attn, "o_proj", lp, l)
+        h = h + lin(_pad_attn(attn), "o_proj", lp, l)
 
         x = rms_norm(h, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
         if "gate_up_proj" in lp:
@@ -448,7 +463,7 @@ def forward(
         )
         attn, ck_all, cv_all = _attend(q, k, v, ck_all, cv_all, l)
         h2, gu = fused_decode.fused_o_gateup(
-            attn.reshape(b * s, -1).astype(jnp.bfloat16),
+            _pad_attn(attn).reshape(b * s, -1).astype(jnp.bfloat16),
             h.reshape(b * s, -1),
             l,
             q_stacked["o_proj"],
@@ -476,6 +491,81 @@ def forward(
         and not os.environ.get("VILA_TPU_NO_FUSED_DECODE")
     )
 
+    # Megakernel path: the whole layer (attention + 4 weight streams) in one
+    # Pallas call (ops/fused_decode.py:fused_layer). Needs the GQA-padded
+    # o_proj layout (quant.pad_o_heads), bs=1, and lane-aligned head_dim.
+    grp = cfg.num_attention_heads // max(cfg.num_key_value_heads, 1)
+    grp_pad = ((grp + 7) // 8) * 8
+    o_din = (
+        2 * q_stacked["o_proj"]["packed"].shape[-2]
+        if "o_proj" in q_stacked else None
+    )
+    padded_o = (
+        o_din == cfg.num_key_value_heads * grp_pad * cfg.head_dim_
+        and grp_pad != grp
+    )
+    use_mega = (
+        use_fused
+        and b == 1
+        and padded_o
+        and (cfg.head_dim_ % 128 == 0 or jax.default_backend() != "tpu")
+        and not os.environ.get("VILA_TPU_NO_MEGA_DECODE")
+    )
+
+    def _pad_attn(attn):
+        """(b, s, nq) -> (b, s, o_din): zero lanes for the GQA group pad
+        (matches quant.pad_o_heads' zero weight rows)."""
+        if not padded_o:
+            return attn
+        a = attn.reshape(
+            b, s, cfg.num_key_value_heads, grp, cfg.head_dim_
+        )
+        a = jnp.pad(
+            a, ((0, 0), (0, 0), (0, 0), (0, grp_pad - grp), (0, 0))
+        )
+        return a.reshape(b, s, -1)
+
+    def mega_layer_fn(carry, l):
+        from vila_tpu.ops import fused_decode
+
+        h8, qkv8, ck_all, cv_all = carry
+        qkv = qkv8[0:1][:, None, :].astype(dtype)  # (1, 1, dqkv)
+        q = qkv[..., :nq].reshape(1, 1, cfg.num_attention_heads,
+                                  cfg.head_dim_)
+        k = qkv[..., nq: nq + nkv].reshape(1, 1, cfg.num_key_value_heads,
+                                           cfg.head_dim_)
+        v = qkv[..., nq + nkv:].reshape(1, 1, cfg.num_key_value_heads,
+                                        cfg.head_dim_)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        fill = cache["fill"]
+        ck_all = jax.lax.dynamic_update_slice(
+            ck_all, k.reshape(1, 1, -1).astype(ck_all.dtype)[None],
+            (l, 0, fill, 0),
+        )
+        cv_all = jax.lax.dynamic_update_slice(
+            cv_all, v.reshape(1, 1, -1).astype(cv_all.dtype)[None],
+            (l, 0, fill, 0),
+        )
+        scale = cfg.head_dim_ ** -0.5
+        q32 = (q[0, 0].astype(jnp.float32) * scale).reshape(
+            cfg.num_key_value_heads, grp, cfg.head_dim_
+        )
+        q32 = jnp.pad(
+            q32, ((0, 0), (0, grp_pad - grp), (0, 0))
+        ).reshape(cfg.num_key_value_heads * grp_pad, cfg.head_dim_)
+        h8, qkv8 = fused_decode.fused_layer(
+            q32.astype(jnp.bfloat16), mega_mask, h8, l,
+            ck_all, cv_all,
+            q_stacked["o_proj"], q_stacked["gate_up_proj"],
+            q_stacked["down_proj"], q_stacked["qkv_proj"],
+            all_layers["post_attention_layernorm"]["scale"],
+            all_layers["input_layernorm"]["scale"],
+            hkv=cfg.num_key_value_heads, hd=cfg.head_dim_,
+            eps=cfg.rms_norm_eps,
+        )
+        return (h8, qkv8.astype(jnp.bfloat16), ck_all, cv_all), None
+
     body = layer_fn
     if cfg.remat:
         body = jax.checkpoint(
@@ -496,13 +586,29 @@ def forward(
         qslot = q_stacked["qkv_proj"]
         if "bias" in qslot:
             qkv0 = qkv0 + qslot["bias"][0].astype(dtype)
-        carry0 = (
-            h, qkv0.reshape(b * s, -1).astype(jnp.bfloat16),
-            cache["k"], cache["v"],
-        )
-        (h, _, new_k, new_v), _ = jax.lax.scan(
-            fused_layer_fn, carry0, layer_ids
-        )
+        if use_mega:
+            mega_mask = jnp.where(
+                new_valid[0], 0.0, -1e30
+            )[None, :].astype(jnp.float32)
+            d_model = h.shape[-1]
+            h8 = jnp.broadcast_to(h.reshape(1, d_model), (8, d_model))
+            qkv8 = jnp.broadcast_to(
+                qkv0.reshape(1, -1).astype(jnp.bfloat16),
+                (8, qkv0.shape[-1]),
+            )
+            carry0 = (h8, qkv8, cache["k"], cache["v"])
+            (h8, _, new_k, new_v), _ = jax.lax.scan(
+                mega_layer_fn, carry0, layer_ids
+            )
+            h = h8[0:1].reshape(1, 1, d_model).astype(dtype)
+        else:
+            carry0 = (
+                h, qkv0.reshape(b * s, -1).astype(jnp.bfloat16),
+                cache["k"], cache["v"],
+            )
+            (h, _, new_k, new_v), _ = jax.lax.scan(
+                fused_layer_fn, carry0, layer_ids
+            )
     else:
         xs = (layer_ids, sliced_layers)
         if cache is not None:

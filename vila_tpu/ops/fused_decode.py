@@ -352,7 +352,8 @@ def fused_o_gateup(
                               layer_index=layer_index)
         return h_new, gu
 
-    m, d_model = attn_out.shape
+    m = attn_out.shape[0]
+    d_model = h.shape[1]  # attn may be wider (GQA-padded o layout)
     bm = max(8, ((m + 7) // 8) * 8)
     attn_out = _pad_rows(attn_out.astype(jnp.bfloat16), bm)
     h = _pad_rows(h, bm)
@@ -504,3 +505,405 @@ def fused_down_qkv(
         qkv_slot["packed"], qkv_slot["scales"],
     )
     return h_new[:m], qkv[:m]
+
+
+# ---------------------------------------------------------------------------
+# Megakernel: attention + o + gate_up + silu + down + qkv_{l+1} in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# bs=1 decode only. The KV cache layer rides the same DMA stream as the
+# weights, and the whole layer exposes ONE pipeline-fill and ONE compute
+# tail instead of five (attention copy + 4 matmul kernels). GQA attention
+# runs per kv head as an 8-row (group-padded) block; the head outputs are
+# spread block-diagonally into a (8, Hkv*8*hd) activation whose matching
+# o_proj layout (`quant.pad_o_heads`) has zero rows for the padding — the
+# o matmul result is then summed over rows to collapse the head dimension.
+
+
+def _softmax_rows(scores):
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _fused_layer_kernel(
+    l_ref,  # (2,) scalar prefetch: [l, l_next]
+    q32_ref,  # (HP, hd) bf16 — rope'd, pre-scaled, group-padded q
+    mask_ref,  # (1, S) f32 additive mask (0 valid / -inf invalid)
+    h_ref,  # (8, D) bf16, row 0 real
+    gpost_ref,  # (1, D) bf16
+    gin_ref,  # (1, D) bf16 (layer l+1)
+    bias_ref,  # (1, dqkv) bf16 (layer l+1)
+    k_hbm,  # (L, 1, S, Hkv*hd) bf16 HBM (flat decode cache, b=1)
+    v_hbm,
+    o_p, o_s, g_p, g_s, d_p, d_s, q_p, q_s,  # stacked weight slots, HBM
+    h_out,  # (8, D) bf16 (broadcast rows)
+    qkv_out,  # (8, dqkv) bf16 (broadcast rows)
+    *,
+    mo, mg, md, mq, n_bo, n_bg, n_bd, n_bq, eps, hkv, hd,
+):
+    l = l_ref[0]
+    l_next = l_ref[1]
+    (half_o, bo, nj_o, ngh_o, gs_o) = mo
+    (half_g, bg, nj_g, ngh_g, gs_g) = mg
+    (half_d, bd, nj_d, ngh_d, gs_d) = md
+    (half_q, bq, nj_q, ngh_q, gs_q) = mq
+    s_len = k_hbm.shape[2]
+    inter = 2 * half_d
+    p_rows = 8  # group-padded q rows per kv head
+
+    def body(k_buf, v_buf, o_bufs, o_sb, g_bufs, g_sb, d_bufs, d_sb,
+             q_bufs, q_sb, gu_buf, d_acc,
+             kv_sem, o_sem, o_ssem, g_sem, g_ssem, d_sem, d_ssem,
+             q_sem, q_ssem):
+        def dma(p_arr, s_arr, bufs, sbufs, psem, ssem, lw):
+            def go(slot, j):
+                return (
+                    pltpu.make_async_copy(p_arr.at[lw, j], bufs.at[slot],
+                                          psem.at[slot]),
+                    pltpu.make_async_copy(s_arr.at[lw, j], sbufs.at[slot],
+                                          ssem.at[slot]),
+                )
+            return go
+
+        dma_o = dma(o_p, o_s, o_bufs, o_sb, o_sem, o_ssem, l)
+        dma_g = dma(g_p, g_s, g_bufs, g_sb, g_sem, g_ssem, l)
+        dma_d = dma(d_p, d_s, d_bufs, d_sb, d_sem, d_ssem, l)
+        dma_q = dma(q_p, q_s, q_bufs, q_sb, q_sem, q_ssem, l_next)
+
+        # DMA queue drains in issue order: KV first (attention gates
+        # everything), then the whole o stream, then the gu head; later
+        # streams chain off the refill tails below.
+        kv_k = pltpu.make_async_copy(k_hbm.at[l, 0], k_buf, kv_sem.at[0])
+        kv_v = pltpu.make_async_copy(v_hbm.at[l, 0], v_buf, kv_sem.at[1])
+        kv_k.start()
+        kv_v.start()
+        for t in range(n_bo):
+            for d in dma_o(t, t):
+                d.start()
+        for t in range(n_bg):
+            for d in dma_g(t, t):
+                d.start()
+        if nj_g <= n_bg and nj_d <= n_bd:
+            for t in range(n_bd):
+                for d in dma_d(t, t):
+                    d.start()
+            for t in range(n_bq):
+                for d in dma_q(t, t):
+                    d.start()
+
+        # ---- attention (b=1, GQA) ----
+        kv_k.wait()
+        kv_v.wait()
+        mask = mask_ref[0][None, :]  # (1, S) f32
+        outs = []
+        for g in range(hkv):  # static
+            qg = q32_ref[g * p_rows:(g + 1) * p_rows, :]  # (8, hd) bf16
+            kg = k_buf[:, g * hd:(g + 1) * hd]  # (S, hd) bf16
+            sc = jax.lax.dot_general(
+                qg, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (8, S)
+            probs = _softmax_rows(sc + mask).astype(jnp.bfloat16)
+            og = jax.lax.dot_general(
+                probs, v_buf[:, g * hd:(g + 1) * hd],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (8, hd) f32
+            # block-diagonal spread: row i keeps lanes [i*hd, (i+1)*hd)
+            tiled = jnp.concatenate([og] * p_rows, axis=1)  # (8, 8*hd)
+            lane_blk = jax.lax.broadcasted_iota(
+                jnp.int32, (p_rows, p_rows * hd), 1
+            ) // hd
+            row_id = jax.lax.broadcasted_iota(
+                jnp.int32, (p_rows, p_rows * hd), 0
+            )
+            outs.append(jnp.where(lane_blk == row_id, tiled, 0.0))
+        x_att = jnp.concatenate(outs, axis=1).astype(jnp.bfloat16)
+        # (8, Hkv*8*hd) == (8, o_din)
+
+        # ---- o stream (row-summed: rows hold different heads) ----
+        lo_d, hi_d = _quant_planes(x_att, gs_o, ngh_o)
+        cols = []
+        for j in range(nj_o):  # static
+            slot = j % n_bo
+            for d in dma_o(slot, j):
+                d.wait()
+            cols.append(_block_compute(
+                lo_d, hi_d,
+                lambda sl, slot=slot: o_bufs[slot, sl, :],
+                lambda g, slot=slot: o_sb[slot, g, :],
+                bm=p_rows, bout=bo, group_size=gs_o, n_groups=ngh_o,
+            ))
+            if j + n_bo < nj_o:
+                for d in dma_o(slot, j + n_bo):
+                    d.start()
+        acc_o = jnp.sum(jnp.concatenate(cols, axis=1), axis=0,
+                        keepdims=True)  # (1, D)
+
+        h32 = h_ref[0:1].astype(jnp.float32) + acc_o
+        x1 = _rms_scale(h32, gpost_ref[0], eps).astype(jnp.bfloat16)
+        x1 = jnp.broadcast_to(x1, (8, x1.shape[1]))
+
+        # ---- gate_up stream ----
+        glo_d, ghi_d = _quant_planes(x1, gs_g, ngh_g)
+
+        def gu_loop(j, carry):
+            slot = j % n_bg
+            for d in dma_g(slot, j):
+                d.wait()
+            blk = _block_compute(
+                glo_d, ghi_d,
+                lambda sl: g_bufs[slot, sl, :],
+                lambda g: g_sb[slot, g, :],
+                bm=8, bout=bg, group_size=gs_g, n_groups=ngh_g,
+            )
+            off = pl.multiple_of(j * bg, bg)
+            gu_buf[:, pl.ds(off, bg)] = blk.astype(gu_buf.dtype)
+
+            @pl.when(j + n_bg < nj_g)
+            def _():
+                for d in dma_g(slot, j + n_bg):
+                    d.start()
+
+            if nj_g > n_bg:
+                @pl.when(j == nj_g - n_bg - 1)
+                def _():
+                    for t in range(n_bd):
+                        for d in dma_d(t, t):
+                            d.start()
+                    if nj_d <= n_bd:
+                        for t in range(n_bq):
+                            for d in dma_q(t, t):
+                                d.start()
+            return carry
+
+        jax.lax.fori_loop(0, nj_g, gu_loop, 0)
+
+        # ---- silu-mul + down stream ----
+        gu32 = gu_buf[:].astype(jnp.float32)
+        gate, up = gu32[:, :inter], gu32[:, inter:]
+        m_act = (gate * jax.nn.sigmoid(gate) * up).astype(jnp.bfloat16)
+        dlo_d, dhi_d = _quant_planes(m_act, gs_d, ngh_d)
+
+        def d_loop(j, carry):
+            slot = j % n_bd
+            for d in dma_d(slot, j):
+                d.wait()
+            blk = _block_compute(
+                dlo_d, dhi_d,
+                lambda sl: d_bufs[slot, sl, :],
+                lambda g: d_sb[slot, g, :],
+                bm=8, bout=bd, group_size=gs_d, n_groups=ngh_d,
+            )
+            off = pl.multiple_of(j * bd, bd)
+            d_acc[:, pl.ds(off, bd)] = blk
+
+            @pl.when(j + n_bd < nj_d)
+            def _():
+                for d in dma_d(slot, j + n_bd):
+                    d.start()
+
+            if nj_d > n_bd:
+                @pl.when(j == nj_d - n_bd - 1)
+                def _():
+                    for t in range(n_bq):
+                        for d in dma_q(t, t):
+                            d.start()
+            return carry
+
+        jax.lax.fori_loop(0, nj_d, d_loop, 0)
+
+        h32b = h32 + d_acc[0:1, :]
+        h_out[:] = jnp.broadcast_to(
+            h32b.astype(h_out.dtype), (8, h32b.shape[1])
+        )
+        x2 = _rms_scale(h32b, gin_ref[0], eps).astype(jnp.bfloat16)
+        x2 = jnp.broadcast_to(x2, (8, x2.shape[1]))
+
+        # ---- qkv stream (layer l+1) ----
+        qlo_d, qhi_d = _quant_planes(x2, gs_q, ngh_q)
+        bias = bias_ref[0]
+        for j in range(nj_q):  # static
+            slot = j % n_bq
+            for d in dma_q(slot, j):
+                d.wait()
+            blk = _block_compute(
+                qlo_d, qhi_d,
+                lambda sl, slot=slot: q_bufs[slot, sl, :],
+                lambda g, slot=slot: q_sb[slot, g, :],
+                bm=8, bout=bq, group_size=gs_q, n_groups=ngh_q,
+            )
+            blk = blk + bias[j * bq:(j + 1) * bq].astype(
+                jnp.float32)[None, :]
+            qkv_out[:, j * bq:(j + 1) * bq] = blk.astype(qkv_out.dtype)
+            if j + n_bq < nj_q:
+                for d in dma_q(slot, j + n_bq):
+                    d.start()
+
+    pl.run_scoped(
+        body,
+        k_buf=pltpu.VMEM((s_len, k_hbm.shape[3]), jnp.bfloat16),
+        v_buf=pltpu.VMEM((s_len, k_hbm.shape[3]), jnp.bfloat16),
+        o_bufs=pltpu.VMEM((n_bo, half_o, bo), jnp.uint8),
+        o_sb=pltpu.VMEM((n_bo, o_s.shape[-2], bo), jnp.bfloat16),
+        g_bufs=pltpu.VMEM((n_bg, half_g, bg), jnp.uint8),
+        g_sb=pltpu.VMEM((n_bg, g_s.shape[-2], bg), jnp.bfloat16),
+        d_bufs=pltpu.VMEM((n_bd, half_d, bd), jnp.uint8),
+        d_sb=pltpu.VMEM((n_bd, d_s.shape[-2], bd), jnp.bfloat16),
+        q_bufs=pltpu.VMEM((n_bq, half_q, bq), jnp.uint8),
+        q_sb=pltpu.VMEM((n_bq, q_s.shape[-2], bq), jnp.bfloat16),
+        gu_buf=pltpu.VMEM((8, mg[1] * mg[2]), jnp.bfloat16),
+        d_acc=pltpu.VMEM((8, md[1] * md[2]), jnp.float32),
+        kv_sem=pltpu.SemaphoreType.DMA((2,)),
+        o_sem=pltpu.SemaphoreType.DMA((n_bo,)),
+        o_ssem=pltpu.SemaphoreType.DMA((n_bo,)),
+        g_sem=pltpu.SemaphoreType.DMA((n_bg,)),
+        g_ssem=pltpu.SemaphoreType.DMA((n_bg,)),
+        d_sem=pltpu.SemaphoreType.DMA((n_bd,)),
+        d_ssem=pltpu.SemaphoreType.DMA((n_bd,)),
+        q_sem=pltpu.SemaphoreType.DMA((n_bq,)),
+        q_ssem=pltpu.SemaphoreType.DMA((n_bq,)),
+    )
+
+
+def fused_layer(
+    q32: jnp.ndarray,  # (Hkv*8, hd) bf16 — rope'd, scaled, group-padded q
+    mask: jnp.ndarray,  # (1, S) f32 additive
+    h: jnp.ndarray,  # (8, D) row 0 real
+    layer_index: jnp.ndarray,  # () int32
+    k_cache: jnp.ndarray,  # (L, 1, S, Hkv*hd) bf16 (flat decode cache)
+    v_cache: jnp.ndarray,
+    o_slot, gu_slot, down_slot, qkv_slot,
+    gamma_post: jnp.ndarray,  # (L, D)
+    gamma_in: jnp.ndarray,  # (L, D)
+    *,
+    hkv: int, hd: int, eps: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One decoder layer (bs=1, quantized decode): returns
+    (h_new (8, D), qkv_of_layer_l_plus_1 (8, dqkv)); row 0 is real."""
+    L = o_slot["packed"].shape[0]
+    l_next = jnp.minimum(layer_index + 1, L - 1)
+    dqkv = qkv_slot["packed"].shape[1] * qkv_slot["packed"].shape[-1]
+    bias = qkv_slot.get("bias")
+    if bias is None:
+        bias = jnp.zeros((L, dqkv), jnp.bfloat16)
+    gpost_row = jax.lax.dynamic_index_in_dim(
+        gamma_post.astype(jnp.bfloat16), layer_index, 0)
+    gin_row = jax.lax.dynamic_index_in_dim(
+        gamma_in.astype(jnp.bfloat16), l_next, 0)
+    bias_row = jax.lax.dynamic_index_in_dim(
+        bias.astype(jnp.bfloat16), l_next, 0)
+
+    if _interpret():
+        # reference composition (CPU): explicit attention + the fused A/B
+        # interpret paths
+        p_rows = 8
+        kg = jax.lax.dynamic_index_in_dim(k_cache, layer_index, 0,
+                                          keepdims=False)[0]  # (S, Hkv*hd)
+        vg = jax.lax.dynamic_index_in_dim(v_cache, layer_index, 0,
+                                          keepdims=False)[0]
+        outs = []
+        for g in range(hkv):
+            qg = q32[g * p_rows:(g + 1) * p_rows].astype(jnp.float32)
+            k_h = kg[:, g * hd:(g + 1) * hd].astype(jnp.float32)
+            v_h = vg[:, g * hd:(g + 1) * hd].astype(jnp.float32)
+            sc = qg @ k_h.T + mask
+            p = jax.nn.softmax(sc, axis=-1)
+            outs.append(p @ v_h)  # (8, hd)
+        x_att = jnp.concatenate(
+            [jnp.where(
+                (jnp.arange(p_rows * hd)[None, :] // hd)
+                == jnp.arange(p_rows)[:, None],
+                jnp.concatenate([o] * p_rows, axis=1), 0.0)
+             for o in outs], axis=1,
+        ).astype(jnp.bfloat16)  # (8, o_din)
+        from vila_tpu.ops.quant import w4_matmul_decode
+
+        acc = w4_matmul_decode(x_att, o_slot["packed"], o_slot["scales"],
+                               layer_index=layer_index)
+        acc = jnp.sum(acc.astype(jnp.float32), axis=0, keepdims=True)
+        h32 = h[0:1].astype(jnp.float32) + acc
+        x1 = _rms_scale(h32, gpost_row[0], eps).astype(jnp.bfloat16)
+        gu = w4_matmul_decode(x1, gu_slot["packed"], gu_slot["scales"],
+                              layer_index=layer_index)
+        inter = gu.shape[1] // 2
+        gu32 = gu.astype(jnp.float32)
+        m_act = (jax.nn.silu(gu32[:, :inter]) * gu32[:, inter:]).astype(
+            jnp.bfloat16)
+        accd = w4_matmul_decode(m_act, down_slot["packed"],
+                                down_slot["scales"],
+                                layer_index=layer_index)
+        h32b = h32 + accd.astype(jnp.float32)
+        x2 = _rms_scale(h32b, gin_row[0], eps).astype(jnp.bfloat16)
+        qkv = w4_matmul_decode(x2, qkv_slot["packed"], qkv_slot["scales"],
+                               layer_index=l_next)
+        qkv = qkv + bias_row.astype(qkv.dtype)
+        h_new = jnp.broadcast_to(h32b.astype(h.dtype), (8, h.shape[1]))
+        qkv8 = jnp.broadcast_to(qkv, (8, qkv.shape[1]))
+        return h_new, qkv8
+
+    mo = _meta5(o_slot)
+    mg = _meta5(gu_slot)
+    md = _meta5(down_slot)
+    mq = _meta5(qkv_slot)
+    o_block = mo[0] * mo[1]
+    n_bo = mo[2] if mo[2] * o_block <= (8 << 20) else max(
+        2, (6 << 20) // o_block)
+    n_bg = min(4, mg[2])
+    n_bd = min(3, md[2])
+    n_bq = min(4, mq[2])
+    d_model = h.shape[1]
+
+    h_new, qkv = pl.pallas_call(
+        functools.partial(
+            _fused_layer_kernel,
+            mo=mo, mg=mg, md=md, mq=mq,
+            n_bo=n_bo, n_bg=n_bg, n_bd=n_bd, n_bq=n_bq,
+            eps=eps, hkv=hkv, hd=hd,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # q32
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # h
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # gpost row
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # gin row
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # bias row
+                pl.BlockSpec(memory_space=pltpu.ANY),  # k cache
+                pl.BlockSpec(memory_space=pltpu.ANY),  # v cache
+                pl.BlockSpec(memory_space=pltpu.ANY),  # o packed
+                pl.BlockSpec(memory_space=pltpu.ANY),  # o scales
+                pl.BlockSpec(memory_space=pltpu.ANY),  # gu packed
+                pl.BlockSpec(memory_space=pltpu.ANY),  # gu scales
+                pl.BlockSpec(memory_space=pltpu.ANY),  # down packed
+                pl.BlockSpec(memory_space=pltpu.ANY),  # down scales
+                pl.BlockSpec(memory_space=pltpu.ANY),  # qkv packed
+                pl.BlockSpec(memory_space=pltpu.ANY),  # qkv scales
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((8, d_model), h.dtype),
+            jax.ShapeDtypeStruct((8, dqkv), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 << 20,
+        ),
+    )(
+        jnp.stack([jnp.asarray(layer_index, jnp.int32),
+                   jnp.asarray(l_next, jnp.int32)]),
+        q32.astype(jnp.bfloat16), mask.astype(jnp.float32), h,
+        gpost_row, gin_row, bias_row,
+        k_cache, v_cache,
+        o_slot["packed"], o_slot["scales"],
+        gu_slot["packed"], gu_slot["scales"],
+        down_slot["packed"], down_slot["scales"],
+        qkv_slot["packed"], qkv_slot["scales"],
+    )
+    return h_new, qkv

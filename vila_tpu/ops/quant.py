@@ -164,6 +164,33 @@ def quantize_w8(w: jnp.ndarray, group_size: int = DEFAULT_GROUP) -> Dict[str, An
     }
 
 
+def pad_o_heads(
+    w: jnp.ndarray, num_q_heads: int, num_kv_heads: int, head_dim: int
+) -> jnp.ndarray:
+    """Repack o_proj rows into GQA-group-padded order: query group g's G
+    heads occupy rows [g*P*hd, g*P*hd + G*hd) with P = ceil8(G) (zero rows
+    pad each group to 8 query heads).
+
+    The megakernel (`fused_decode.fused_layer`) computes attention per kv
+    head as an (8, hd) block and spreads it block-diagonally into the o
+    activation — 8-row groups keep every sublane slice Mosaic-aligned, and
+    the zero weight rows erase the padding lanes. Costs (P-G)/G extra o
+    bytes (+14% for 28/4 heads)."""
+    grp = num_q_heads // num_kv_heads
+    p = ((grp + 7) // 8) * 8
+    if p == grp:
+        return w
+    *lead, din, dout = w.shape
+    assert din == num_q_heads * head_dim, (din, num_q_heads, head_dim)
+    w4 = w.reshape(*lead, num_kv_heads, grp, head_dim, dout)
+    pad = jnp.zeros(
+        tuple(lead) + (num_kv_heads, p - grp, head_dim, dout), w.dtype
+    )
+    return jnp.concatenate([w4, pad], axis=-3).reshape(
+        *lead, num_kv_heads * p * head_dim, dout
+    )
+
+
 def _tiled_meta(packed: jnp.ndarray, scales: jnp.ndarray):
     """Derive (half, bout, nj, ngh, group_size, din, dout) from shapes.
 
@@ -912,6 +939,7 @@ def quantize_llm_params(
     bits: int = 4,
     group_size: int = DEFAULT_GROUP,
     fuse: bool = True,
+    cfg=None,  # optional qwen2.LLMConfig: enables the GQA-padded o layout
 ) -> Dict[str, Any]:
     """Quantize a vila_tpu.models.qwen2 param tree (TinyChat-parity W4A16
     storage, AWQ layout — README.md:245-255).
@@ -961,7 +989,15 @@ def quantize_llm_params(
             [src["gate_proj"]["kernel"], src["up_proj"]["kernel"]], axis=-1
         )
         layers["gate_up_proj"] = qslot(gu_k)
-        layers["o_proj"] = qslot(src["o_proj"]["kernel"], src["o_proj"].get("bias"))
+        o_kernel = src["o_proj"]["kernel"]
+        if cfg is not None:
+            # GQA-group-padded rows enable the single-kernel decode layer
+            # (fused_decode.fused_layer); zero rows change no output.
+            o_kernel = pad_o_heads(
+                o_kernel, cfg.num_attention_heads,
+                cfg.num_key_value_heads, cfg.head_dim_,
+            )
+        layers["o_proj"] = qslot(o_kernel, src["o_proj"].get("bias"))
         # down is tall (din ~5x dout): a wider block DMAs ~10% faster
         layers["down_proj"] = qslot(
             src["down_proj"]["kernel"], src["down_proj"].get("bias"),
