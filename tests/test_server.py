@@ -113,3 +113,33 @@ def test_streaming(server):
         e["choices"][0]["delta"].get("content") for e in events[:-1]
     ) or len(events) >= 1
     assert raw.strip().endswith("[DONE]") or "[DONE]" in raw
+
+
+def test_client_module(server, tmp_path):
+    """serving/client.py drives the real server: blocking + streaming,
+    file->data-URL media."""
+    import numpy as np
+    from PIL import Image
+
+    from vila_tpu.serving import client as C
+
+    img = tmp_path / "x.png"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (28, 28, 3), np.uint8)
+    ).save(img)
+
+    msgs = C.build_messages("what is this", image=str(img))
+    assert msgs[0]["content"][0]["type"] == "image_url"
+    assert msgs[0]["content"][0]["image_url"]["url"].startswith(
+        "data:image/png;base64,")
+
+    out = "".join(C.chat(server, msgs, max_tokens=4))
+    assert isinstance(out, str)
+
+    stream_out = "".join(
+        C.chat(server, C.build_messages("hello"), max_tokens=4, stream=True)
+    )
+    blocking_out = "".join(
+        C.chat(server, C.build_messages("hello"), max_tokens=4)
+    )
+    assert stream_out == blocking_out

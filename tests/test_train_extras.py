@@ -321,3 +321,81 @@ def test_fp8_train_step_e2e():
     # curves agree within quantization noise
     for a, b_ in zip(ref, fp8):
         assert abs(a - b_) < 0.35, (ref, fp8)
+
+
+# ---------------------------------------------------------------------------
+# simulated (fake) quantization — QAT research ops
+# ---------------------------------------------------------------------------
+
+
+def test_fake_quant_roundtrip_and_error_ordering():
+    import jax
+    import jax.numpy as jnp
+
+    from vila_tpu.ops import fake_quant as fq
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 256), jnp.float32)
+    for fmt in ("e4m3", "e5m2", "int8", "int4"):
+        q = fq.fake_quant(x, fmt)
+        assert q.shape == x.shape and q.dtype == x.dtype
+        # quantization is idempotent
+        np.testing.assert_allclose(
+            np.asarray(fq.fake_quant(q, fmt)), np.asarray(q),
+            rtol=1e-6, atol=1e-6,
+        )
+    # precision ordering: int8 < int4 error; e4m3 < int4
+    e_int8 = float(fq.quantization_error(x, "int8"))
+    e_int4 = float(fq.quantization_error(x, "int4"))
+    e_fp8 = float(fq.quantization_error(x, "e4m3"))
+    assert e_int8 < e_int4
+    assert e_fp8 < e_int4
+    assert e_int4 < 0.2  # int4 with 128-groups is still ~sane
+
+
+def test_fake_quant_straight_through_gradient():
+    import jax
+    import jax.numpy as jnp
+
+    from vila_tpu.ops import fake_quant as fq
+
+    cfg = fq.FakeQuantConfig(weight_fmt="int4", act_fmt="e4m3")
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 32), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 64), jnp.float32)
+
+    def loss(w):
+        return jnp.sum(fq.fq_linear(x, w, cfg) ** 2)
+
+    g = jax.grad(loss)(w)
+    assert np.isfinite(np.asarray(g)).all()
+    # STE: gradient magnitude comparable to the unquantized path
+    g_ref = jax.grad(lambda w: jnp.sum((x @ w) ** 2))(w)
+    ratio = float(jnp.linalg.norm(g) / jnp.linalg.norm(g_ref))
+    assert 0.5 < ratio < 2.0, ratio
+
+
+def test_fake_quant_training_decreases_loss():
+    """A tiny fq_linear regression trains under jax.grad (QAT smoke)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vila_tpu.ops import fake_quant as fq
+
+    cfg = fq.FakeQuantConfig(weight_fmt="int4", act_fmt=None, group_size=16)
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (64, 16), jnp.float32)
+    y = x @ jax.random.normal(jax.random.PRNGKey(4), (16, 4), jnp.float32)
+    w = jnp.zeros((16, 4), jnp.float32)
+
+    @jax.jit
+    def step(w):
+        def loss(w):
+            return jnp.mean((fq.fq_linear(x, w, cfg) - y) ** 2)
+
+        l, g = jax.value_and_grad(loss)(w)
+        return w - 0.1 * g, l
+
+    losses = []
+    for _ in range(30):
+        w, l = step(w)
+        losses.append(float(l))
+    assert losses[-1] < 0.2 * losses[0]

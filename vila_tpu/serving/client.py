@@ -1,8 +1,11 @@
-"""Minimal OpenAI-compatible client for the vila_tpu server.
+"""Minimal OpenAI-compatible client for the vila_tpu server
+(reference analogue: serving/query_nvila.py — but stdlib-only, no openai
+package dependency).
 
-Capability parity: `serving/query_nvila.py` — send text+image requests to
-the chat/completions endpoint (stdlib only; also usable with the `openai`
-package pointed at the same base_url).
+Usage:
+    python -m vila_tpu.serving.client --url http://localhost:8000 \
+        --image photo.jpg "describe this image"
+    python -m vila_tpu.serving.client --stream "hello"
 """
 
 from __future__ import annotations
@@ -11,86 +14,92 @@ import argparse
 import base64
 import json
 import mimetypes
-import os
 import sys
 import urllib.request
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Iterator, List, Optional
 
 
-def encode_media_part(path: str) -> Dict[str, Any]:
+def file_to_data_url(path: str) -> str:
     mime = mimetypes.guess_type(path)[0] or "application/octet-stream"
     with open(path, "rb") as f:
-        b64 = base64.b64encode(f.read()).decode()
-    url = f"data:{mime};base64,{b64}"
-    if mime.startswith("video"):
-        return {"type": "video_url", "video_url": {"url": url}}
-    return {"type": "image_url", "image_url": {"url": url}}
+        return f"data:{mime};base64,{base64.b64encode(f.read()).decode()}"
+
+
+def build_messages(
+    text: str, image: Optional[str] = None, video: Optional[str] = None
+) -> List[Dict[str, Any]]:
+    content: List[Dict[str, Any]] = []
+    if image:
+        url = image if image.startswith(("http", "data:")) else \
+            file_to_data_url(image)
+        content.append({"type": "image_url", "image_url": {"url": url}})
+    if video:
+        url = video if video.startswith(("http", "data:")) else \
+            file_to_data_url(video)
+        content.append({"type": "video_url", "video_url": {"url": url}})
+    content.append({"type": "text", "text": text})
+    return [{"role": "user", "content": content}]
 
 
 def chat(
     base_url: str,
-    text: str,
-    media: Optional[List[str]] = None,
+    messages: List[Dict[str, Any]],
     *,
-    stream: bool = False,
+    model: str = "vila-tpu",
     max_tokens: int = 256,
     temperature: float = 0.0,
-    response_format: Optional[Dict[str, Any]] = None,
-):
-    content: List[Dict[str, Any]] = [
-        encode_media_part(p) for p in (media or [])
-    ]
-    content.append({"type": "text", "text": text})
-    body = {
-        "messages": [{"role": "user", "content": content}],
+    stream: bool = False,
+    timeout: float = 600.0,
+) -> Iterator[str]:
+    """Yields text deltas (one final chunk when stream=False)."""
+    body = json.dumps({
+        "model": model,
+        "messages": messages,
         "max_tokens": max_tokens,
         "temperature": temperature,
         "stream": stream,
-    }
-    if response_format:
-        body["response_format"] = response_format
+    }).encode()
     req = urllib.request.Request(
         base_url.rstrip("/") + "/v1/chat/completions",
-        data=json.dumps(body).encode(),
+        data=body,
         headers={"Content-Type": "application/json"},
     )
-    resp = urllib.request.urlopen(req)
+    resp = urllib.request.urlopen(req, timeout=timeout)
     if not stream:
-        data = json.loads(resp.read())
-        return data["choices"][0]["message"]["content"]
-
-    def deltas():
-        for raw in resp:
-            line = raw.decode().strip()
-            if not line.startswith("data: ") or "[DONE]" in line:
-                continue
-            chunk = json.loads(line[len("data: "):])
-            d = chunk["choices"][0]["delta"].get("content")
-            if d:
-                yield d
-
-    return deltas()
+        out = json.load(resp)
+        yield out["choices"][0]["message"]["content"]
+        return
+    for raw in resp:
+        line = raw.decode().strip()
+        if not line.startswith("data:"):
+            continue
+        payload = line[5:].strip()
+        if payload == "[DONE]":
+            return
+        delta = json.loads(payload)["choices"][0].get("delta", {})
+        if "content" in delta:
+            yield delta["content"]
 
 
 def main(argv=None) -> int:
-    p = argparse.ArgumentParser("vila_tpu.serving.client")
-    p.add_argument("--url", default="http://127.0.0.1:8000")
-    p.add_argument("--text", "-t", required=True)
-    p.add_argument("--media", "-i", nargs="*", default=[])
-    p.add_argument("--stream", action="store_true")
-    p.add_argument("--max-tokens", type=int, default=256)
-    args = p.parse_args(argv)
-
-    out = chat(
-        args.url, args.text, args.media,
-        stream=args.stream, max_tokens=args.max_tokens,
-    )
-    if args.stream:
-        for d in out:
-            print(d, end="", flush=True)
-        print()
-    else:
-        print(out)
+    ap = argparse.ArgumentParser("vila_tpu.serving.client")
+    ap.add_argument("text")
+    ap.add_argument("--url", default="http://localhost:8000")
+    ap.add_argument("--image", default=None)
+    ap.add_argument("--video", default=None)
+    ap.add_argument("--model", default="vila-tpu")
+    ap.add_argument("--max-tokens", type=int, default=256)
+    ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("--stream", action="store_true")
+    a = ap.parse_args(argv)
+    for delta in chat(
+        a.url, build_messages(a.text, a.image, a.video),
+        model=a.model, max_tokens=a.max_tokens,
+        temperature=a.temperature, stream=a.stream,
+    ):
+        sys.stdout.write(delta)
+        sys.stdout.flush()
+    print()
     return 0
 
 
