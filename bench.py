@@ -219,6 +219,46 @@ def main():
     decode_tps8 = bs8 / step8
     progress(f"decode bs=8: {decode_tps8:.1f} tok/s/chip")
 
+    # ---------------- video-context decode (64-frame prompt) ----------------
+    # NVILA-Video-8B-TinyChat decodes at 151.8 tok/s on A100 (README.md:70)
+    # with 64-frame video prompts; TSP pooling yields ~4.2k prompt tokens.
+    ctx_v = 4224
+    cache_v = qwen2.init_cache(llm_cfg, batch=1, max_len=4608)
+    cache_v = {
+        "k": cache_v["k"],
+        "v": cache_v["v"],
+        "valid": cache_v["valid"].at[:, :ctx_v].set(True),
+        "fill": jnp.asarray(ctx_v, jnp.int32),
+    }
+
+    @partial(jax.jit, static_argnames="n")
+    def decode_run_v(n, params, cache):
+        def body(carry, _):
+            tok, cache, pos = carry
+            logits, cache = qwen2.forward(
+                params, llm_cfg,
+                input_ids=tok[:, None],
+                positions=pos[:, None],
+                cache=cache,
+            )
+            nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            return (nxt, cache, pos + 1), None
+
+        (tok, cache, _), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((1,), jnp.int32), cache,
+             jnp.full((1,), ctx_v, jnp.int32)),
+            None,
+            length=n,
+        )
+        return tok.sum()
+
+    step_v = diff_time(
+        lambda n, p, c: decode_run_v(n, p, c), 1, 65, params["llm"], cache_v
+    )
+    decode_tps_v = 1.0 / step_v
+    progress(f"decode video-ctx: {decode_tps_v:.2f} tok/s")
+
     # ---------------- TTFT (single image, bs=1) ----------------
     # Single-image prompt: 256 media tokens + ~20 text tokens = ~280,
     # which the engine buckets to 384 (PROMPT_BUCKETS).
@@ -308,6 +348,8 @@ def main():
         "ttft_ms": round(ttft * 1000, 2),
         "ttft_vs_baseline_ms": 45.2,
         "batched_bs8_tok_s_chip": round(decode_tps8, 1),
+        "video_ctx_tok_s": round(decode_tps_v, 2),
+        "video_ctx_vs_baseline": round(decode_tps_v / 151.8, 4),
         "engine_ttft_ms": (
             round(engine_ttft_ms, 1)
             if isinstance(engine_ttft_ms, float)

@@ -20,7 +20,7 @@ TPU-first design choices (vs. the torch reference):
 from __future__ import annotations
 
 import dataclasses
-import math
+
 import os
 from typing import Any, Dict, Optional, Tuple
 

@@ -33,7 +33,7 @@ tiled as (NJ, 2*ngh, bout): lo-half groups then hi-half groups.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ import dataclasses
 import functools
 import queue
 import threading
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, List, Optional, Union
 
 import jax
 import jax.numpy as jnp
