@@ -195,3 +195,71 @@ def test_batcher_streaming(engine):
             "stream me", gc)
     finally:
         batcher.shutdown()
+
+
+def test_batcher_stress_mixed_sampling(engine):
+    """Six concurrent requests on two slots, mixing greedy and sampled
+    configs: all complete, greedy ones match the serial engine exactly."""
+    import concurrent.futures as cf
+
+    from vila_tpu.serving.batcher import ContinuousBatcher
+
+    prompts = ["alpha beta", "gamma", "delta epsilon zeta", "eta",
+               "theta iota", "kappa"]
+    configs = [
+        GenerationConfig(max_new_tokens=4, do_sample=False),
+        GenerationConfig(max_new_tokens=2, do_sample=True, temperature=0.9,
+                         top_p=0.9, top_k=5),
+        GenerationConfig(max_new_tokens=6, do_sample=False),
+        GenerationConfig(max_new_tokens=3, do_sample=True, temperature=1.3),
+        GenerationConfig(max_new_tokens=5, do_sample=False),
+        GenerationConfig(max_new_tokens=1, do_sample=False),
+    ]
+    serial = {
+        i: engine.generate_content(p, g)
+        for i, (p, g) in enumerate(zip(prompts, configs))
+        if not g.do_sample
+    }
+    batcher = ContinuousBatcher(engine, max_batch=2, max_len=1024)
+    try:
+        with cf.ThreadPoolExecutor(6) as ex:
+            futs = [
+                ex.submit(batcher.generate_content, p, g)
+                for p, g in zip(prompts, configs)
+            ]
+            got = [f.result(timeout=600) for f in futs]
+    finally:
+        batcher.shutdown()
+    for i, ref in serial.items():
+        assert got[i] == ref, (i, got[i], ref)
+    for i, g in enumerate(configs):
+        assert isinstance(got[i], str)
+
+
+def test_batcher_constrained_falls_back_to_serial(engine):
+    from vila_tpu.serving.batcher import ContinuousBatcher
+
+    schema = {"type": "object", "properties": {"a": {"type": "string"}}}
+    gc = GenerationConfig(
+        max_new_tokens=16, do_sample=False,
+        response_format={"type": "json_schema", "json_schema": schema},
+    )
+    batcher = ContinuousBatcher(engine, max_batch=2, max_len=1024)
+    try:
+        out = batcher.generate_content("make json", gc)
+    finally:
+        batcher.shutdown()
+    ref = engine.generate_content("make json", gc)
+    assert out == ref
+
+
+def test_batcher_rejects_overlong_prompt(engine):
+    from vila_tpu.serving.batcher import ContinuousBatcher
+
+    batcher = ContinuousBatcher(engine, max_batch=1, max_len=128)
+    try:
+        with pytest.raises(ValueError, match="exceeds batcher max_len"):
+            list(batcher.stream_ids(
+                "word " * 400, GenerationConfig(max_new_tokens=2)))
+    finally:
+        batcher.shutdown()
