@@ -146,7 +146,10 @@ def build_dataset(
 
         if name not in DATASETS:
             raise ValueError(f"Dataset '{name}' not found in the registry.")
-        meta = dict(DATASETS[name])
+        meta = {
+            k: os.path.expandvars(v) if isinstance(v, str) else v
+            for k, v in DATASETS[name].items()
+        }
         dtype = meta.pop("type", "supervised")
         ctor = DATASET_TYPES[dtype]
         dataset = ctor(tokenizer=tokenizer, cfg=cfg, **meta)
