@@ -78,6 +78,7 @@ with open(os.path.join(out_root, f"worker{pid}.json"), "w") as f:
 
 
 @pytest.mark.timeout(600)
+@pytest.mark.slow
 def test_two_process_training_disjoint_data(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)

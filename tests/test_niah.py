@@ -68,6 +68,7 @@ def test_splice_needle_positions(llm):
     np.testing.assert_array_equal(np.asarray(seq[50:60]), np.asarray(nd))
 
 
+@pytest.mark.slow
 def test_niah_long_forward_bounded_memory():
     """LongVILA regime smoke: a 65,536-token causal forward on the
     8-device ring mesh completes on CPU. The 8,192-token local shards

@@ -114,6 +114,7 @@ def _vlm_cfg():
     )
 
 
+@pytest.mark.slow
 def test_ps3_train_step_with_selection_loss():
     from vila_tpu.parallel import mesh as mesh_lib
     from vila_tpu.train.optimizer import OptimizerConfig, make_optimizer

@@ -86,6 +86,7 @@ def test_quantized_linear_dispatch():
 
 
 @pytest.mark.parametrize("fuse", [False, True])
+@pytest.mark.slow
 def test_quantize_llm_params_forward(fuse):
     """End-to-end: a quantized tiny LLM decodes tokens close to bf16,
     with and without fused qkv/gate_up projections."""
@@ -133,6 +134,7 @@ def test_fused_equals_unfused():
     )
 
 
+@pytest.mark.slow
 def test_fused_decode_kernels_match_per_op_path(monkeypatch):
     """The fused two-stream decode scan (ops/fused_decode.py) reproduces the
     per-op quantized decode path: same cache decode, same greedy tokens,
@@ -176,6 +178,7 @@ def test_fused_decode_kernels_match_per_op_path(monkeypatch):
     np.testing.assert_allclose(logits_ref, logits_fused, atol=2e-2, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_mega_decode_kernel_matches_per_op_path(monkeypatch):
     """The single-kernel decode layer (fused_decode.fused_layer: attention +
     o + gate_up + down + next-qkv) with the GQA-padded o layout reproduces

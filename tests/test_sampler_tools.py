@@ -69,6 +69,31 @@ def test_batch_shuffle_keeps_batches_contiguous():
         assert list(b) == list(range(b[0], b[0] + 4))
 
 
+def test_batch_iterator_mixture_fairness():
+    """Trainer._batch_iterator must feed ConcatDataset constituent lengths
+    into the sampler so per-dataset drop-last arithmetic is live (r2 weak
+    #8): every epoch draws a replica-even slice of EACH constituent, not a
+    single merged pool."""
+    from vila_tpu.data.dataset import ConcatDataset
+    from vila_tpu.train.trainer import _batch_iterator
+
+    a = [("a", i) for i in range(37)]
+    b = [("b", i) for i in range(11)]
+    mix = ConcatDataset([a, b])
+    collator = list  # identity: a batch is the list of items
+
+    it = _batch_iterator(
+        mix, collator, batch_size=2, seed=0, rank=0, world_size=2
+    )
+    # one epoch for rank 0 of 2: per-dataset keep = (n // (2*2)) * 2*2,
+    # half of it for this replica -> 18 from a, 4 from b, per epoch
+    epoch_items = [item for _ in range(11) for item in next(it)]
+    from collections import Counter
+
+    src = Counter(name for name, _ in epoch_items)
+    assert src["a"] == 18 and src["b"] == 4
+
+
 def test_delta_roundtrip():
     base = {"a": np.ones((3,), np.float32), "b": {"c": np.zeros((2,))}}
     target = {"a": np.full((3,), 2.5, np.float32), "b": {"c": np.ones((2,))}}

@@ -271,6 +271,7 @@ def test_preemption_guard_walltime():
     assert not g2.should_stop(0)
 
 
+@pytest.mark.slow
 def test_fp8_train_step_e2e():
     """FP8 matmul path + FP8-state AdamW compose with FSDP sharding on the
     mesh: the loss curve tracks the bf16/f32 run on a memorization task

@@ -45,6 +45,7 @@ def make_batch(cfg, b=4, s=32, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_loss_decreases_on_mesh():
     cfg = tiny_cfg()
     mesh = mesh_lib.make_mesh(dp=2, sp=2, tp=2)
@@ -68,6 +69,7 @@ def test_loss_decreases_on_mesh():
     assert all(b <= a for a, b in zip(losses, losses[1:])), losses
 
 
+@pytest.mark.slow
 def test_frozen_components_do_not_move():
     cfg = tiny_cfg()
     mesh = mesh_lib.make_mesh(dp=1, sp=1, tp=1, devices=jax.devices()[:1])

@@ -59,6 +59,7 @@ class ToyDataset:
         return self.items[i]
 
 
+@pytest.mark.slow
 def test_trainer_loss_decreases_and_resumes(tmp_path):
     cfg = tiny_cfg()
     params = vlm.init_params(jax.random.PRNGKey(0), cfg)

@@ -52,7 +52,36 @@ def build_config(
 
     llm_cfg = qwen2.LLMConfig.from_hf_config(llm_hf, dtype=dtype)
     vt_type = vt_hf.get("model_type", "siglip_vision_model")
-    if "clip" in vt_type:
+    if "radio" in vt_type:
+        from vila_tpu.models import vit
+
+        tower_type = "radio"
+        vis_cfg = vit.ViTConfig.from_radio_config(vt_hf, dtype=dtype)
+        # input-conditioner normalization stats live in the weights
+        # (radio_encoder.py's make_preprocessor_external)
+        stats = hf_import.radio_image_stats(
+            hf_import.peek_safetensors(
+                vt_dir,
+                [
+                    "radio_model.input_conditioner.norm_mean",
+                    "radio_model.input_conditioner.norm_std",
+                    "input_conditioner.norm_mean",
+                    "input_conditioner.norm_std",
+                ],
+            )
+        )
+        if stats is not None:
+            vis_cfg = dataclasses_replace(
+                vis_cfg, image_mean=stats[0], image_std=stats[1]
+            )
+    elif "ps3" in vt_type:
+        from vila_tpu.models import ps3
+
+        tower_type = "ps3"
+        vis_cfg = ps3.PS3Config.from_hf_config(
+            vt_hf, dtype=dtype, prompt_dim=llm_cfg.hidden_size
+        )
+    elif "clip" in vt_type:
         from vila_tpu.models import vit
 
         tower_type = "clip"
@@ -132,7 +161,11 @@ def load_params(
     vt_sd = hf_import.load_safetensors_dir(os.path.join(model_path, "vision_tower"))
     proj_sd = hf_import.load_safetensors_dir(os.path.join(model_path, "mm_projector"))
 
-    if cfg.vision_tower_type in ("clip", "internvit"):
+    if cfg.vision_tower_type == "radio":
+        vt_params = hf_import.convert_radio_state_dict(vt_sd, cfg.vision)
+    elif cfg.vision_tower_type == "ps3":
+        vt_params = hf_import.convert_ps3_state_dict(vt_sd, cfg.vision)
+    elif cfg.vision_tower_type in ("clip", "internvit"):
         vt_params = hf_import.convert_vit_state_dict(vt_sd, cfg.vision)
     else:
         vt_params = hf_import.convert_siglip_state_dict(vt_sd, cfg.vision)

@@ -87,6 +87,48 @@ class PS3Config:
         """Low-res grid + K selected tokens per high-res scale."""
         return self.low_grid**2 + self.k_per_scale * (len(self.s3_scales) - 1)
 
+    @classmethod
+    def from_hf_config(cls, hf: dict, **overrides) -> "PS3Config":
+        """Tolerant parser for a PS3 checkpoint's vision config (the
+        external `ps3` package's PS3VisionConfig uses open_clip-style
+        width/layers naming; our save path writes HF-style names)."""
+        vis = hf.get("vision_config") or hf
+        width = vis.get("hidden_size") or vis.get("width") or 1152
+        layers = vis.get("num_hidden_layers") or vis.get("layers") or 27
+        heads = vis.get("num_attention_heads") or vis.get("heads") or 16
+        inter = vis.get("intermediate_size") or int(
+            width * vis.get("mlp_ratio", 3.7362)
+        )
+        patch = vis.get("patch_size") or 14
+        scales = tuple(
+            vis.get("ps3_scales")
+            or vis.get("s3_scales")
+            or hf.get("ps3_scales")
+            or (378, 756, 1512)
+        )
+        vit_cfg = siglip.SigLIPConfig(
+            hidden_size=width,
+            intermediate_size=inter,
+            num_hidden_layers=layers,
+            num_attention_heads=heads,
+            image_size=scales[0],
+            patch_size=patch,
+            layer_norm_eps=vis.get("layer_norm_eps", 1e-6),
+            dtype=overrides.pop("dtype", "float32"),
+        )
+        kw = dict(
+            vit=vit_cfg,
+            s3_scales=scales,
+            num_hires_select=(
+                vis.get("num_hires_select")
+                or hf.get("num_hires_select")
+                or 64
+            ),
+            num_look_close=hf.get("num_look_close", 1),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
 
 def init_params(
     rng: jax.Array, cfg: PS3Config, param_dtype=jnp.float32

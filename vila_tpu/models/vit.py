@@ -93,6 +93,60 @@ class ViTConfig:
         kw.update(overrides)
         return cls(**kw)
 
+    @classmethod
+    def from_radio_config(cls, hf: dict, **overrides) -> "ViTConfig":
+        """Config for a RADIO tower (multimodal_encoder/radio_encoder.py).
+
+        The HF-hub RADIO config carries a timm model name under
+        `args.model`; dims come from the timm table below, or from direct
+        `hidden_size`/... fields when present (our save path writes those).
+        """
+        args = hf.get("args") or {}
+        name = args.get("model") or hf.get("model") or ""
+        dims = None
+        for timm_name, d in _TIMM_VIT_DIMS.items():
+            if name.startswith(timm_name):
+                dims = d
+                break
+        if dims is None and "hidden_size" not in hf:
+            raise ValueError(
+                f"unknown RADIO timm model {name!r} and no direct dims in config"
+            )
+        if dims is not None:
+            hidden, inter, layers, heads = dims
+        patch = hf.get("patch_size") or (14 if "patch14" in name else 16)
+        pref = hf.get("preferred_resolution") or [432, 432]
+        image_size = hf.get("image_size") or (
+            pref[0] if isinstance(pref, (list, tuple)) else pref
+        )
+        kw = dict(
+            hidden_size=hf.get("hidden_size", dims and hidden),
+            intermediate_size=hf.get("intermediate_size", dims and inter),
+            num_hidden_layers=hf.get("num_hidden_layers", dims and layers),
+            num_attention_heads=hf.get("num_attention_heads", dims and heads),
+            image_size=image_size,
+            patch_size=patch,
+            hidden_act="gelu",
+            pre_layernorm=False,
+            layer_norm_eps=hf.get("layer_norm_eps", 1e-6),
+            image_mean=(0.485, 0.456, 0.406),
+            image_std=(0.229, 0.224, 0.225),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+
+# timm VisionTransformer dims: name prefix -> (hidden, mlp, layers, heads)
+_TIMM_VIT_DIMS = {
+    "vit_small_patch16": (384, 1536, 12, 6),
+    "vit_base_patch16": (768, 3072, 12, 12),
+    "vit_base_patch14": (768, 3072, 12, 12),
+    "vit_large_patch16": (1024, 4096, 24, 16),
+    "vit_large_patch14": (1024, 4096, 24, 16),
+    "vit_huge_patch16": (1280, 5120, 32, 16),
+    "vit_huge_patch14": (1280, 5120, 32, 16),
+}
+
 
 def init_params(rng: jax.Array, cfg: ViTConfig, param_dtype=jnp.float32) -> Params:
     L, D, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size

@@ -28,13 +28,30 @@ class DPOConfig:
     beta: float = 0.1
     label_smoothing: float = 0.0
     loss_type: str = "sigmoid"  # sigmoid | ipo (dpo_trainer.py loss_type)
+    # sequence-logp chunking (never materialize (B, S, V)); None = one
+    # full-logits projection (tiny models / debugging only)
+    chunk_size: Optional[int] = 1024
 
 
 def sequence_logp(
-    params, cfg, batch_side: Dict[str, jnp.ndarray]
+    params,
+    cfg,
+    batch_side: Dict[str, jnp.ndarray],
+    chunk_size: Optional[int] = 1024,
 ) -> jnp.ndarray:
     """Sum log p(labels) per sequence. batch_side is a collated batch
-    (input_ids, labels, positions, segment_ids, optional media)."""
+    (input_ids, labels, positions, segment_ids, optional media).
+
+    With `chunk_size`, the lm_head projection + log-softmax run chunk-wise
+    under `jax.checkpoint` (losses.chunked_sequence_logp) so peak memory is
+    O(B * chunk * V) instead of O(B * S * V)."""
+    if chunk_size:
+        from vila_tpu.train.losses import chunked_sequence_logp
+
+        hidden = vlm.forward_batch(params, cfg, batch_side, return_hidden=True)
+        return chunked_sequence_logp(
+            hidden, params["llm"], cfg.llm, batch_side["labels"], chunk_size
+        )
     logits = vlm.forward_batch(params, cfg, batch_side)
     logits = logits[:, :-1].astype(jnp.float32)
     targets = batch_side["labels"][:, 1:]
@@ -86,13 +103,14 @@ def dpo_step_fn(
     opt_state,
 ):
     def loss_fn(p):
-        pc = sequence_logp(p, cfg, batch["chosen"])
-        pr = sequence_logp(p, cfg, batch["rejected"])
+        cs = dcfg.chunk_size
+        pc = sequence_logp(p, cfg, batch["chosen"], cs)
+        pr = sequence_logp(p, cfg, batch["rejected"], cs)
         rc = jax.lax.stop_gradient(
-            sequence_logp(ref_params, cfg, batch["chosen"])
+            sequence_logp(ref_params, cfg, batch["chosen"], cs)
         )
         rr = jax.lax.stop_gradient(
-            sequence_logp(ref_params, cfg, batch["rejected"])
+            sequence_logp(ref_params, cfg, batch["rejected"], cs)
         )
         loss, metrics = dpo_loss(pc, pr, rc, rr, dcfg)
         return loss, metrics

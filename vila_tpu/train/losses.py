@@ -116,6 +116,52 @@ def chunked_causal_lm_loss(
     return total / jnp.maximum(count, 1), count
 
 
+def chunked_sequence_logp(
+    hidden: jnp.ndarray,  # (B, S, D) final hidden states (pre lm_head)
+    llm_params,
+    llm_cfg,
+    labels: jnp.ndarray,  # (B, S) int32 with IGNORE_INDEX masking
+    chunk_size: int = 1024,
+) -> jnp.ndarray:
+    """Per-sequence sum of target log-probs without materializing (B, S, V).
+
+    The DPO objective needs sum_t log p(y_t) per sequence; at Qwen2 vocab
+    (V=152k) the naive log_softmax over full logits dominates memory. Same
+    recipe as `chunked_causal_lm_loss`: scan over sequence chunks with the
+    lm_head projection + log-softmax inside `jax.checkpoint`, accumulating a
+    per-row (B,) sum. Applies the next-token shift internally.
+    """
+    from vila_tpu.models import qwen2
+
+    h = hidden[:, :-1]
+    t = labels[:, 1:]
+    b, s, d = h.shape
+    pad = (-s) % chunk_size
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        t = jnp.pad(t, ((0, 0), (0, pad)), constant_values=IGNORE_INDEX)
+    n_chunks = h.shape[1] // chunk_size
+    h = h.reshape(b, n_chunks, chunk_size, d).transpose(1, 0, 2, 3)
+    t = t.reshape(b, n_chunks, chunk_size).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_logp(hc, tc):  # (B, C, D), (B, C) -> (B,)
+        logits = qwen2.compute_logits(llm_params, llm_cfg, hc).astype(
+            jnp.float32
+        )
+        valid = tc != IGNORE_INDEX
+        safe = jnp.where(valid, tc, 0)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        tl = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+        return jnp.where(valid, tl - logz, 0.0).sum(-1)
+
+    def body(acc, xs):
+        return acc + chunk_logp(*xs), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros((b,), jnp.float32), (h, t))
+    return total
+
+
 def soft_cross_entropy(
     logits: jnp.ndarray,  # (B, S, V)
     labels: jnp.ndarray,  # (B, S)

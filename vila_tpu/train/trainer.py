@@ -103,8 +103,16 @@ def _batch_iterator(
     `batch_size` is this host's LOCAL batch."""
     from vila_tpu.data.sampler import DistributedSampler
 
+    # ConcatDataset mixtures expose constituent spans so the sampler's
+    # per-dataset drop-last arithmetic is live (llava_trainer.py:178-204);
+    # a plain dataset is a single pool.
+    lengths = (
+        [len(d) for d in dataset.datasets]
+        if hasattr(dataset, "datasets")
+        else [len(dataset)]
+    )
     sampler = DistributedSampler(
-        [len(dataset)],
+        lengths,
         rank=rank,
         world_size=world_size,
         sp_degree=sp_degree,
