@@ -40,7 +40,7 @@ def make_tiny_tokenizer(vocab_size=256):
     return fast
 
 
-def make_tiny_vlm_torch(seed=0):
+def make_tiny_vlm_torch(seed=0, hidden_size=64, intermediate_size=112):
     """Tiny HF torch components matching a vila_tpu VLMConfig."""
     import torch
     from transformers import (
@@ -53,8 +53,8 @@ def make_tiny_vlm_torch(seed=0):
     torch.manual_seed(seed)
     llm_hf = Qwen2Config(
         vocab_size=512,
-        hidden_size=64,
-        intermediate_size=112,
+        hidden_size=hidden_size,
+        intermediate_size=intermediate_size,
         num_hidden_layers=2,
         num_attention_heads=4,
         num_key_value_heads=2,
@@ -81,7 +81,8 @@ def make_tiny_vlm_torch(seed=0):
     from vila_tpu.models import projector as projector_lib
 
     proj_cfg = projector_lib.ProjectorConfig(
-        projector_type="mlp_downsample", mm_hidden_size=48, hidden_size=64
+        projector_type="mlp_downsample", mm_hidden_size=48,
+        hidden_size=hidden_size,
     )
     from test_projector_parity import build_torch_sequential
 
@@ -89,7 +90,7 @@ def make_tiny_vlm_torch(seed=0):
     return llm, vit, proj, llm_hf, vis_hf, proj_cfg
 
 
-def save_tiny_checkpoint(tmpdir, seed=0):
+def save_tiny_checkpoint(tmpdir, seed=0, **dims):
     """Write a component-layout checkpoint directory from tiny torch models."""
     import json
     import os
@@ -97,7 +98,7 @@ def save_tiny_checkpoint(tmpdir, seed=0):
     import torch
     from safetensors.torch import save_file
 
-    llm, vit, proj, llm_hf, vis_hf, proj_cfg = make_tiny_vlm_torch(seed)
+    llm, vit, proj, llm_hf, vis_hf, proj_cfg = make_tiny_vlm_torch(seed, **dims)
 
     llm_dir = os.path.join(tmpdir, "llm")
     os.makedirs(llm_dir, exist_ok=True)

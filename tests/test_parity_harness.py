@@ -1,0 +1,83 @@
+"""The one-command fidelity harness (scripts/parity_vs_hf.py) runs end to
+end on a component checkpoint: both-sides logit report, golden fixture
+generation, and torch-free golden check (VERDICT r2 missing #1 — the same
+command applies unchanged to a real NVILA checkpoint dir)."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import helpers
+
+import parity_vs_hf
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ckpt"))
+    # W4 group inference needs power-of-two halves (>=16)
+    helpers.save_tiny_checkpoint(d, seed=0, hidden_size=128, intermediate_size=256)
+    return d
+
+
+def test_logits_subcommand_with_w4(ckpt, tmp_path):
+    out = str(tmp_path / "report.json")
+    rc = parity_vs_hf.main(
+        ["logits", "--ckpt", ckpt, "--out", out, "--max-new", "6", "--w4"]
+    )
+    assert rc == 0
+    report = json.load(open(out))
+    # random tiny weights -> near-uniform logits; fp32 parity must be tight
+    assert report["text_only"]["max_abs"] < 5e-4, report["text_only"]
+    assert report["single_image"]["max_abs"] < 5e-4, report["single_image"]
+    assert report["text_only"]["top1_agreement"] == 1.0
+    assert report["single_image"]["top1_agreement"] == 1.0
+    assert report["greedy"]["match"], report["greedy"]
+    # W4 on random weights: finite delta reported, transcript produced
+    assert "max_abs" in report["w4_vs_bf16"]
+    assert np.isfinite(report["w4_vs_bf16"]["max_abs"])
+
+
+def test_golden_roundtrip(ckpt, tmp_path):
+    golden = str(tmp_path / "golden.npz")
+    rc = parity_vs_hf.main(
+        ["gen-golden", "--ckpt", ckpt, "--out", golden, "--max-new", "4"]
+    )
+    assert rc == 0 and os.path.exists(golden)
+
+    out = str(tmp_path / "check.json")
+    rc = parity_vs_hf.main(
+        [
+            "check", "--ckpt", ckpt, "--golden", golden, "--out", out,
+            "--max-new", "4", "--assert-max-abs", "5e-4",
+        ]
+    )
+    assert rc == 0
+    report = json.load(open(out))
+    assert report["single_image"]["top1_agreement"] == 1.0
+    assert report["greedy_match_vs_golden"]
+
+
+def test_check_fails_on_corrupt_golden(ckpt, tmp_path):
+    golden = str(tmp_path / "golden.npz")
+    parity_vs_hf.main(
+        ["gen-golden", "--ckpt", ckpt, "--out", golden, "--max-new", "2"]
+    )
+    fix = dict(np.load(golden))
+    fix["img_logits"] = fix["img_logits"] + 1.0  # corrupt
+    np.savez_compressed(golden, **fix)
+    rc = parity_vs_hf.main(
+        [
+            "check", "--ckpt", ckpt, "--golden", golden,
+            "--max-new", "2", "--assert-max-abs", "1e-3",
+        ]
+    )
+    assert rc == 1

@@ -1018,6 +1018,11 @@ def quantize_llm_params(
 
     out["layers"] = layers
     if "lm_head" in llm_params:
-        q = quantize_w4(llm_params["lm_head"]["kernel"], group_size)
+        kernel = llm_params["lm_head"]["kernel"]
+        half = kernel.shape[-2] // 2
+        g = group_size
+        while half % g != 0:  # small/test models: largest fitting group
+            g -= 1
+        q = quantize_w4(kernel, g)
         out["lm_head"] = {"packed": q["packed"], "scales": q["scales"]}
     return out
