@@ -208,6 +208,88 @@ def load(
 # --------------------------------------------------------------------------
 
 
+def _np32(x):
+    return np.ascontiguousarray(np.asarray(jax.device_get(x), dtype=np.float32))
+
+
+def _np32t(x):
+    # safetensors silently mis-serializes non-contiguous views;
+    # transposes must be materialized.
+    return np.ascontiguousarray(_np32(x).T)
+
+
+def llm_state_dict(params: Dict[str, Any], cfg: vlm.VLMConfig) -> Dict[str, np.ndarray]:
+    """vila_tpu llm pytree → HF Qwen2/Llama state dict (numpy fp32)."""
+    lp = params["llm"]
+    sd = {"model.embed_tokens.weight": _np32(lp["embed_tokens"]["embedding"])}
+    for i in range(cfg.llm.num_hidden_layers):
+        pre = f"model.layers.{i}."
+        L = lp["layers"]
+        sd[pre + "input_layernorm.weight"] = _np32(L["input_layernorm"]["scale"][i])
+        sd[pre + "post_attention_layernorm.weight"] = _np32(
+            L["post_attention_layernorm"]["scale"][i]
+        )
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            sd[pre + f"self_attn.{name}.weight"] = _np32t(L[name]["kernel"][i])
+            if "bias" in L[name]:
+                sd[pre + f"self_attn.{name}.bias"] = _np32(L[name]["bias"][i])
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            sd[pre + f"mlp.{name}.weight"] = _np32t(L[name]["kernel"][i])
+    sd["model.norm.weight"] = _np32(lp["norm"]["scale"])
+    if not cfg.llm.tie_word_embeddings:
+        sd["lm_head.weight"] = _np32t(lp["lm_head"]["kernel"])
+    return sd
+
+
+def vision_state_dict(params: Dict[str, Any], cfg: vlm.VLMConfig) -> Dict[str, np.ndarray]:
+    """vila_tpu SigLIP tower pytree → HF SiglipVisionModel state dict."""
+    vp = params["vision_tower"]
+    vsd = {}
+    pk = _np32(vp["patch_embedding"]["kernel"])  # (P*P*3, D)
+    p, d = cfg.vision.patch_size, cfg.vision.hidden_size
+    vsd["vision_model.embeddings.patch_embedding.weight"] = (
+        np.ascontiguousarray(pk.reshape(p, p, 3, d).transpose(3, 2, 0, 1))
+    )
+    vsd["vision_model.embeddings.patch_embedding.bias"] = _np32(
+        vp["patch_embedding"]["bias"]
+    )
+    vsd["vision_model.embeddings.position_embedding.weight"] = _np32(
+        vp["position_embedding"]["embedding"]
+    )
+    for i in range(cfg.vision.num_hidden_layers):
+        pre = f"vision_model.encoder.layers.{i}."
+        L = vp["layers"]
+        for ln in ("layer_norm1", "layer_norm2"):
+            vsd[pre + f"{ln}.weight"] = _np32(L[ln]["scale"][i])
+            vsd[pre + f"{ln}.bias"] = _np32(L[ln]["bias"][i])
+        for name, hf in (
+            ("q_proj", "self_attn.q_proj"),
+            ("k_proj", "self_attn.k_proj"),
+            ("v_proj", "self_attn.v_proj"),
+            ("out_proj", "self_attn.out_proj"),
+            ("fc1", "mlp.fc1"),
+            ("fc2", "mlp.fc2"),
+        ):
+            vsd[pre + hf + ".weight"] = _np32t(L[name]["kernel"][i])
+            vsd[pre + hf + ".bias"] = _np32(L[name]["bias"][i])
+    vsd["vision_model.post_layernorm.weight"] = _np32(vp["post_layernorm"]["scale"])
+    vsd["vision_model.post_layernorm.bias"] = _np32(vp["post_layernorm"]["bias"])
+    return vsd
+
+
+def projector_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """vila_tpu projector pytree → reference nn.Sequential state dict."""
+    psd = {}
+    for idx, slot in params["mm_projector"].items():
+        if "kernel" in slot:
+            psd[f"layers.{idx}.weight"] = _np32t(slot["kernel"])
+        if "scale" in slot:
+            psd[f"layers.{idx}.weight"] = _np32(slot["scale"])
+        if "bias" in slot:
+            psd[f"layers.{idx}.bias"] = _np32(slot["bias"])
+    return psd
+
+
 def save(params: Dict[str, Any], cfg: vlm.VLMConfig, tokenizer, out_dir: str):
     """Save in the reference's component layout (llava_arch.py:158-204) so
     checkpoints round-trip between vila_tpu and HF tooling."""
@@ -215,35 +297,10 @@ def save(params: Dict[str, Any], cfg: vlm.VLMConfig, tokenizer, out_dir: str):
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def np32(x):
-        return np.ascontiguousarray(np.asarray(jax.device_get(x), dtype=np.float32))
-
-    def np32t(x):
-        # safetensors silently mis-serializes non-contiguous views;
-        # transposes must be materialized.
-        return np.ascontiguousarray(np32(x).T)
-
     # --- llm ---
     llm_dir = os.path.join(out_dir, "llm")
     os.makedirs(llm_dir, exist_ok=True)
-    lp = params["llm"]
-    sd = {"model.embed_tokens.weight": np32(lp["embed_tokens"]["embedding"])}
-    for i in range(cfg.llm.num_hidden_layers):
-        pre = f"model.layers.{i}."
-        L = lp["layers"]
-        sd[pre + "input_layernorm.weight"] = np32(L["input_layernorm"]["scale"][i])
-        sd[pre + "post_attention_layernorm.weight"] = np32(
-            L["post_attention_layernorm"]["scale"][i]
-        )
-        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
-            sd[pre + f"self_attn.{name}.weight"] = np32t(L[name]["kernel"][i])
-            if "bias" in L[name]:
-                sd[pre + f"self_attn.{name}.bias"] = np32(L[name]["bias"][i])
-        for name in ("gate_proj", "up_proj", "down_proj"):
-            sd[pre + f"mlp.{name}.weight"] = np32t(L[name]["kernel"][i])
-    sd["model.norm.weight"] = np32(lp["norm"]["scale"])
-    if not cfg.llm.tie_word_embeddings:
-        sd["lm_head.weight"] = np32t(lp["lm_head"]["kernel"])
+    sd = llm_state_dict(params, cfg)
     save_file(sd, os.path.join(llm_dir, "model.safetensors"))
     with open(os.path.join(llm_dir, "config.json"), "w") as f:
         json.dump(
@@ -271,37 +328,7 @@ def save(params: Dict[str, Any], cfg: vlm.VLMConfig, tokenizer, out_dir: str):
     # --- vision tower ---
     vt_dir = os.path.join(out_dir, "vision_tower")
     os.makedirs(vt_dir, exist_ok=True)
-    vp = params["vision_tower"]
-    vsd = {}
-    pk = np32(vp["patch_embedding"]["kernel"])  # (P*P*3, D)
-    p, d = cfg.vision.patch_size, cfg.vision.hidden_size
-    vsd["vision_model.embeddings.patch_embedding.weight"] = (
-        np.ascontiguousarray(pk.reshape(p, p, 3, d).transpose(3, 2, 0, 1))
-    )
-    vsd["vision_model.embeddings.patch_embedding.bias"] = np32(
-        vp["patch_embedding"]["bias"]
-    )
-    vsd["vision_model.embeddings.position_embedding.weight"] = np32(
-        vp["position_embedding"]["embedding"]
-    )
-    for i in range(cfg.vision.num_hidden_layers):
-        pre = f"vision_model.encoder.layers.{i}."
-        L = vp["layers"]
-        for ln in ("layer_norm1", "layer_norm2"):
-            vsd[pre + f"{ln}.weight"] = np32(L[ln]["scale"][i])
-            vsd[pre + f"{ln}.bias"] = np32(L[ln]["bias"][i])
-        for name, hf in (
-            ("q_proj", "self_attn.q_proj"),
-            ("k_proj", "self_attn.k_proj"),
-            ("v_proj", "self_attn.v_proj"),
-            ("out_proj", "self_attn.out_proj"),
-            ("fc1", "mlp.fc1"),
-            ("fc2", "mlp.fc2"),
-        ):
-            vsd[pre + hf + ".weight"] = np32t(L[name]["kernel"][i])
-            vsd[pre + hf + ".bias"] = np32(L[name]["bias"][i])
-    vsd["vision_model.post_layernorm.weight"] = np32(vp["post_layernorm"]["scale"])
-    vsd["vision_model.post_layernorm.bias"] = np32(vp["post_layernorm"]["bias"])
+    vsd = vision_state_dict(params, cfg)
     save_file(vsd, os.path.join(vt_dir, "model.safetensors"))
     with open(os.path.join(vt_dir, "config.json"), "w") as f:
         json.dump(
@@ -322,14 +349,7 @@ def save(params: Dict[str, Any], cfg: vlm.VLMConfig, tokenizer, out_dir: str):
     # --- projector ---
     proj_dir = os.path.join(out_dir, "mm_projector")
     os.makedirs(proj_dir, exist_ok=True)
-    psd = {}
-    for idx, slot in params["mm_projector"].items():
-        if "kernel" in slot:
-            psd[f"layers.{idx}.weight"] = np32t(slot["kernel"])
-        if "scale" in slot:
-            psd[f"layers.{idx}.weight"] = np32(slot["scale"])
-        if "bias" in slot:
-            psd[f"layers.{idx}.bias"] = np32(slot["bias"])
+    psd = projector_state_dict(params)
     save_file(psd, os.path.join(proj_dir, "model.safetensors"))
     with open(os.path.join(proj_dir, "config.json"), "w") as f:
         json.dump(
