@@ -1,0 +1,91 @@
+"""Custom lmms-eval task helpers: VideoMME with frame-count and subtitle
+variants (capability parity: llava/eval/lmms/tasks/videomme.py — the
+reference registers a custom videomme task because stock lmms-eval lacks
+the with-subtitle prompting used by LongVILA's 65.1% VideoMME number).
+
+Pure functions here (prompt construction, answer parsing) are harness-
+independent and unit-tested locally; `register()` wires them into
+lmms-eval when the harness is installed.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, List, Optional
+
+MC_PREAMBLE = (
+    "Select the best answer to the following multiple-choice question "
+    "based on the video. Respond with only the letter (A, B, C, or D) of "
+    "the correct option.\n"
+)
+
+
+def doc_to_text(doc: Dict[str, Any]) -> str:
+    options = doc.get("options") or doc.get("choices") or []
+    lines = [MC_PREAMBLE + str(doc["question"])]
+    lines += [str(o) for o in options]
+    lines.append("The best answer is:")
+    return "\n".join(lines)
+
+
+def _read_srt(path: str, max_chars: int = 4000) -> str:
+    """Subtitle text from an .srt file: strip indices/timestamps/tags."""
+    lines: List[str] = []
+    with open(path, errors="ignore") as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line.isdigit() or "-->" in line:
+                continue
+            line = re.sub(r"<[^>]+>", "", line)
+            lines.append(line)
+    text = " ".join(lines)
+    return text[:max_chars]
+
+
+def doc_to_text_subtitle(
+    doc: Dict[str, Any], subtitle_root: Optional[str] = None
+) -> str:
+    """With-subtitle prompt: subtitle transcript precedes the MC question
+    (videomme_doc_to_text_subtitle parity). Subtitles come from
+    doc["subtitles"] or from <subtitle_root>/<videoID>.srt."""
+    subs = doc.get("subtitles")
+    if subs is None and subtitle_root:
+        srt = os.path.join(subtitle_root, str(doc.get("videoID", "")) + ".srt")
+        if os.path.exists(srt):
+            subs = _read_srt(srt)
+    if not subs:
+        return doc_to_text(doc)
+    if isinstance(subs, list):
+        subs = " ".join(str(s) for s in subs)
+    return (
+        "This video's subtitles are listed below:\n"
+        f"{subs}\n"
+        + doc_to_text(doc)
+    )
+
+
+def parse_mc_answer(pred: str) -> Optional[str]:
+    m = re.search(r"\b([A-D])\b", pred.strip().upper())
+    return m.group(1) if m else None
+
+
+def process_results(doc: Dict[str, Any], results: List[str]) -> Dict[str, Any]:
+    pred = parse_mc_answer(results[0] if results else "")
+    gold = str(doc.get("answer", "")).strip().upper()[:1]
+    return {"videomme_accuracy": float(pred == gold)}
+
+
+def register() -> bool:
+    """Register the videomme / videomme_w_subtitle tasks with lmms-eval.
+    Returns False when the harness is not installed."""
+    try:
+        from lmms_eval.api.task import ConfigurableTask  # noqa: F401
+        from lmms_eval.tasks import TaskManager  # noqa: F401
+    except Exception:
+        return False
+    # lmms-eval discovers tasks from yaml dirs; point it at ours
+    os.environ.setdefault(
+        "LMMS_EVAL_TASKS_PATH", os.path.join(os.path.dirname(__file__), "lmms_yaml")
+    )
+    return True

@@ -15,6 +15,52 @@ import os
 import numpy as np
 
 
+def save_heatmap(results, path: str) -> bool:
+    """Accuracy heatmap over (context length x needle depth) — the artifact
+    of the reference's eval_vision_niah.py plot. Sequential single-hue
+    (magnitude encoding), per-cell value labels, no rainbow."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+
+    contexts = sorted({r["context"] for r in results})
+    depths = sorted({r["depth"] for r in results})
+    grid = np.full((len(depths), len(contexts)), np.nan)
+    for r in results:
+        grid[depths.index(r["depth"]), contexts.index(r["context"])] = r["acc"]
+
+    fig, ax = plt.subplots(
+        figsize=(1.2 + 0.9 * len(contexts), 1.0 + 0.6 * len(depths))
+    )
+    im = ax.imshow(grid, cmap="Greens", vmin=0.0, vmax=1.0, aspect="auto")
+    ax.set_xticks(range(len(contexts)))
+    ax.set_xticklabels(
+        [f"{c//1024}k" if c >= 1024 else str(c) for c in contexts]
+    )
+    ax.set_yticks(range(len(depths)))
+    ax.set_yticklabels([f"{d:.0%}" for d in depths])
+    ax.set_xlabel("context length (tokens)")
+    ax.set_ylabel("needle depth")
+    ax.set_title("Needle-in-a-haystack retrieval accuracy")
+    for i in range(len(depths)):
+        for j in range(len(contexts)):
+            v = grid[i, j]
+            if not np.isnan(v):
+                ax.text(
+                    j, i, f"{v:.2f}", ha="center", va="center", fontsize=8,
+                    color="white" if v > 0.6 else "#1a1a1a",
+                )
+    fig.colorbar(im, ax=ax, label="accuracy")
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return True
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("vila_tpu.eval.niah_cli")
     p.add_argument("--model-path", required=True)
@@ -66,6 +112,7 @@ def main(argv=None) -> int:
         json.dump(results, f, indent=2)
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
         json.dump({"niah/mean_acc": mean_acc, "niah/grid": results}, f)
+    save_heatmap(results, os.path.join(args.output_dir, "niah_heatmap.png"))
     print(json.dumps({"niah/mean_acc": mean_acc}))
     return 0
 
