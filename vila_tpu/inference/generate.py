@@ -260,6 +260,47 @@ class GenerationEngine:
         return prefill
 
     @functools.cached_property
+    def _prefill_first(self):
+        """Vision encode + cache allocation + prefill + first-token sample
+        in ONE compiled call. `stream_ids` pays a single device dispatch +
+        one scalar readback for the first token instead of ~a dozen eager
+        ops (cache zeros, separate encode/prefill jits, eager sampling) —
+        worth ~60 ms of host/dispatch latency per request on a remote-
+        attached TPU (r2 weak #3: engine TTFT 111 ms vs 45 ms device)."""
+        cfg = self.cfg
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("cache_len", "do_sample", "use_tiles"),
+        )
+        def prefill_first(params, ids, token_valid, tiles, media_embeds,
+                          media_pos, prompt_last, seed, temperature, top_p,
+                          top_k, cache_len, do_sample, use_tiles):
+            if use_tiles:
+                feats = vlm.encode_images(params, cfg, tiles)
+                media_embeds = feats.reshape(-1, feats.shape[-1])
+            embeds = qwen2.embed_tokens(params["llm"], cfg.llm, ids)
+            embeds = vlm.splice_media(embeds, media_embeds, media_pos)
+            cache = qwen2.init_cache(
+                cfg.llm, batch=ids.shape[0], max_len=cache_len
+            )
+            logits, cache = qwen2.forward(
+                params["llm"], cfg.llm,
+                inputs_embeds=embeds,
+                token_valid=token_valid,
+                cache=cache,
+                gather_position=prompt_last,
+            )
+            rng = jax.random.PRNGKey(seed)
+            rng, sub = jax.random.split(rng)
+            tok = sample_token(
+                logits[:, 0], sub, do_sample, temperature, top_p, top_k
+            )
+            return tok, cache, rng
+
+        return prefill_first
+
+    @functools.cached_property
     def _decode(self):
         cfg = self.cfg
 
@@ -548,36 +589,74 @@ class GenerationEngine:
         ids[0, :prompt_len] = expanded_ids
         valid = np.zeros((1, s_pad), bool)
         valid[0, :prompt_len] = True
+        prompt_last = np.asarray([prompt_len - 1], np.int32)
 
-        ps3_prompt = None
-        if inputs.get("ps3_low") is not None:
-            ps3_prompt = self._ps3_top_down_prompt(inputs)
-        media_embeds = self.encode_media(
-            inputs["media"], ps3_prompt=ps3_prompt
+        entries = inputs["media"]
+        plain_fast = (
+            gc.response_format is None
+            and inputs.get("ps3_low") is None
+            and bool(entries)
+            and all(e["kind"] == "plain" for e in entries)
         )
-        if media_embeds is None:
-            media_embeds = jnp.zeros((8, cfg.llm.hidden_size), cfg.llm.compute_dtype)
-        mp = np.full((media_embeds.shape[0],), 1 << 30, np.int32)
-        mp[: len(media_pos)] = media_pos
+        if gc.response_format is not None or not plain_fast:
+            # slow path: heterogeneous media (s2/tsp/ps3), text-only, or
+            # constrained decoding (needs the full first logits on host)
+            ps3_prompt = None
+            if inputs.get("ps3_low") is not None:
+                ps3_prompt = self._ps3_top_down_prompt(inputs)
+            media_embeds = self.encode_media(entries, ps3_prompt=ps3_prompt)
+            if media_embeds is None:
+                media_embeds = jnp.zeros(
+                    (8, cfg.llm.hidden_size), cfg.llm.compute_dtype
+                )
+            mp = np.full((media_embeds.shape[0],), 1 << 30, np.int32)
+            mp[: len(media_pos)] = media_pos
 
-        cache = qwen2.init_cache(cfg.llm, batch=1, max_len=cache_len)
-        prompt_last = jnp.asarray([prompt_len - 1], jnp.int32)
-
-        first_logits, cache = self._prefill(
-            self.params, jnp.asarray(ids), jnp.asarray(valid),
-            media_embeds, jnp.asarray(mp), cache, prompt_last,
-        )
-        if gc.response_format is not None:
-            yield from self._constrained_loop(
-                gc, first_logits, cache, prompt_len, stop_ids
+            if gc.response_format is not None:
+                cache = qwen2.init_cache(cfg.llm, batch=1, max_len=cache_len)
+                first_logits, cache = self._prefill(
+                    self.params, jnp.asarray(ids), jnp.asarray(valid),
+                    media_embeds, jnp.asarray(mp), cache,
+                    jnp.asarray(prompt_last),
+                )
+                yield from self._constrained_loop(
+                    gc, first_logits, cache, prompt_len, stop_ids
+                )
+                return
+            # numpy args ride the jit dispatch as one upload batch — no
+            # eager jnp.asarray round-trips (remote-TPU RTT is ~30 ms each)
+            dummy_tiles = np.zeros(
+                (0, cfg.vision.image_size, cfg.vision.image_size, 3), np.uint8
             )
-            return
-
-        rng = jax.random.PRNGKey(gc.seed)
-        rng, sub = jax.random.split(rng)
-        tok = sample_token(
-            first_logits, sub, gc.do_sample, gc.temperature, gc.top_p, gc.top_k
-        )
+            tok, cache, rng = self._prefill_first(
+                self.params, ids, valid,
+                dummy_tiles, media_embeds, mp,
+                prompt_last, gc.seed,
+                gc.temperature, gc.top_p, gc.top_k,
+                cache_len=cache_len, do_sample=gc.do_sample, use_tiles=False,
+            )
+        else:
+            # fast path: plain tiles — vision encode + prefill + sample in
+            # one compiled call, one host round-trip total
+            tiles = np.concatenate([e["tiles"] for e in entries])
+            n = tiles.shape[0]
+            n_pad = _bucket(n, TILE_BUCKETS)
+            tiles_p = np.zeros((n_pad,) + tiles.shape[1:], tiles.dtype)
+            tiles_p[:n] = tiles
+            mp = np.full(
+                (n_pad * cfg.tokens_per_image,), 1 << 30, np.int32
+            )
+            mp[: len(media_pos)] = media_pos
+            dummy_embeds = np.zeros(
+                (8, cfg.llm.hidden_size), np.float32
+            )
+            tok, cache, rng = self._prefill_first(
+                self.params, ids, valid,
+                tiles_p, dummy_embeds, mp,
+                prompt_last, gc.seed,
+                gc.temperature, gc.top_p, gc.top_k,
+                cache_len=cache_len, do_sample=gc.do_sample, use_tiles=True,
+            )
 
         first = int(tok[0])
         if first in stop_ids:

@@ -1,0 +1,205 @@
+"""Long-context generation: sequence-sharded KV cache decode over a mesh.
+
+LongVILA's point is long-context *inference*, not just training
+(longvila/README.md:17 — 1M-token NIAH over multi-GPU ring attention). The
+serial engine caps its KV cache at one chip's HBM; this module shards the
+cache along the sequence axis of a `jax.sharding.Mesh` so context scales
+with the number of chips:
+
+  * **Chunked prefill**: the prompt streams through in fixed-size chunks;
+    each chunk's attention reads the whole sharded cache (GSPMD partitions
+    the softmax over the sequence axis — the collectives ride ICI).
+  * **Sharded decode**: per step the new token's q is replicated, attention
+    reduces over every device's KV shard, and the new KV row lands on the
+    shard owning the current fill slot (a dynamic_update_slice into a
+    sequence-sharded array — XLA turns it into a masked local update).
+
+This is deliberately GSPMD-first (annotate shardings, let XLA insert the
+collectives) rather than a hand-written ring: decode is latency-bound on
+one new token, where a one-shot psum LSE-merge beats P2P ring rotation.
+The training-side ring/Ulysses kernels (parallel/ring_attention.py) remain
+the throughput path for full-sequence work.
+
+Capability parity: the inference side of
+llava/eval/vision_niah_vila/eval_vision_niah.py (ring-attn decode), plus
+`GenerationEngine(max_cache_len > 8192)` unlocked (r2 weak #9).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vila_tpu.models import qwen2
+
+
+class LongContextEngine:
+    """Generation over contexts larger than one chip's KV budget.
+
+    seq_axes: mesh axis name(s) to shard the cache sequence dim over
+    (default: every mesh axis, flattened).
+    """
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        llm_cfg,
+        mesh,
+        *,
+        max_cache_len: int,
+        prefill_chunk: int = 4096,
+        seq_axes: Optional[Sequence[str]] = None,
+    ) -> None:
+        self.params = params
+        self.cfg = llm_cfg
+        self.mesh = mesh
+        self.seq_axes = tuple(seq_axes or mesh.axis_names)
+        n_shards = 1
+        for a in self.seq_axes:
+            n_shards *= mesh.shape[a]
+        assert max_cache_len % n_shards == 0, (max_cache_len, n_shards)
+        assert max_cache_len % prefill_chunk == 0
+        self.max_cache_len = max_cache_len
+        self.prefill_chunk = prefill_chunk
+
+        ax = self.seq_axes
+        self._cache_shardings = {
+            "k": NamedSharding(mesh, P(None, None, ax, None)),
+            "v": NamedSharding(mesh, P(None, None, ax, None)),
+            "valid": NamedSharding(mesh, P(None, ax)),
+            "fill": NamedSharding(mesh, P()),
+        }
+        self._rep = NamedSharding(mesh, P())
+
+    def init_cache(self):
+        with self.mesh:
+            return jax.jit(
+                lambda: qwen2.init_cache(
+                    self.cfg, batch=1, max_len=self.max_cache_len
+                ),
+                out_shardings=self._cache_shardings,
+            )()
+
+    @functools.cached_property
+    def _prefill_chunk_fn(self):
+        cfg = self.cfg
+
+        def step(params, embeds, token_valid, last, cache):
+            logits, cache = qwen2.forward(
+                params, cfg,
+                inputs_embeds=embeds,
+                token_valid=token_valid,
+                cache=cache,
+                gather_position=last,  # last REAL token (tail chunk is padded)
+                attn_impl="xla",  # GSPMD-partitionable over the seq axis
+            )
+            return logits[:, 0], cache
+
+        return jax.jit(
+            step,
+            donate_argnums=(4,),
+            in_shardings=(
+                self._rep, self._rep, self._rep, self._rep,
+                self._cache_shardings,
+            ),
+            out_shardings=(self._rep, self._cache_shardings),
+        )
+
+    @functools.cached_property
+    def _decode_fn(self):
+        cfg = self.cfg
+
+        def step(params, tok, positions, cache, steps):
+            def body(carry, _):
+                tok, cache, pos = carry
+                logits, cache = qwen2.forward(
+                    params, cfg,
+                    input_ids=tok[:, None],
+                    positions=pos[:, None],
+                    cache=cache,
+                    attn_impl="xla",
+                )
+                nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                return (nxt, cache, pos + 1), nxt
+
+            (tok, cache, positions), toks = jax.lax.scan(
+                body, (tok, cache, positions), None, length=steps
+            )
+            return toks.T, tok, cache, positions
+
+        return jax.jit(
+            step,
+            static_argnums=(4,),
+            donate_argnums=(3,),
+            in_shardings=(
+                self._rep, self._rep, self._rep, self._cache_shardings,
+            ),
+            out_shardings=(
+                self._rep, self._rep, self._cache_shardings, self._rep
+            ),
+        )
+
+    def prefill(self, embeds: jnp.ndarray, cache=None):
+        """Stream (1, S, D) prompt embeddings through in chunks. S need not
+        be chunk-aligned; the tail chunk is right-padded. Returns
+        (last_logits, cache, prompt_len)."""
+        s = embeds.shape[1]
+        c = self.prefill_chunk
+        if cache is None:
+            cache = self.init_cache()
+        assert s <= self.max_cache_len, (s, self.max_cache_len)
+        logits = None
+        with self.mesh:
+            for start in range(0, s, c):
+                chunk = np.asarray(embeds[:, start : start + c])
+                n = chunk.shape[1]
+                if n < c:
+                    chunk = np.pad(chunk, ((0, 0), (0, c - n), (0, 0)))
+                tv = np.zeros((1, c), bool)
+                tv[0, :n] = True
+                logits, cache = self._prefill_chunk_fn(
+                    self.params, chunk, tv, np.asarray([n - 1], np.int32),
+                    cache,
+                )
+                if n < c:
+                    # fill cursor advanced by the padded chunk; rewind
+                    cache = dict(cache)
+                    cache["fill"] = cache["fill"] - (c - n)
+        return logits, cache, s
+
+    def generate(
+        self,
+        embeds: jnp.ndarray,  # (1, S, D) prompt embeddings
+        max_new_tokens: int,
+        stop_ids: Sequence[int] = (),
+        decode_chunk: int = 8,
+    ) -> List[int]:
+        """Greedy generation: chunked sharded prefill + sharded decode."""
+        logits, cache, s = self.prefill(embeds)
+        first = int(jnp.argmax(logits[0]))
+        out = [first]
+        stop = set(stop_ids)
+        if first in stop or max_new_tokens <= 1:
+            return out[: max_new_tokens]
+        tok = np.asarray([first], np.int32)
+        positions = np.asarray([s], np.int32)
+        left = max_new_tokens - 1
+        with self.mesh:
+            while left > 0 and int(positions[0]) < self.max_cache_len:
+                steps = min(decode_chunk, left)
+                toks, tokd, cache, posd = self._decode_fn(
+                    self.params, tok, positions, cache, steps
+                )
+                tok = np.asarray(tokd)
+                positions = np.asarray(posd)
+                for t in np.asarray(toks)[0].tolist():
+                    if t in stop:
+                        return out
+                    out.append(t)
+                left -= steps
+        return out

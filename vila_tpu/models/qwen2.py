@@ -53,7 +53,9 @@ class LLMConfig:
     remat: bool = False
     # COAT-parity FP8 training: decoder matmuls run E4M3 fwd / E5M2 bwd
     # (llava/model/coat/, llava/model/qlinear_te.py:20). ops/fp8.py.
-    fp8_matmul: bool = False
+    # False | True/"tensor" (per-tensor scales) | "group" (per-group 128
+    # scales, COAT real_quantization recipe).
+    fp8_matmul: Any = False
 
     @property
     def head_dim_(self) -> int:
@@ -183,9 +185,12 @@ def _linear(x, p, dtype, fp8: bool = False):
 
         return quantized_linear(x, p, dtype)
     if fp8:  # COAT-style FP8 training path (ops/fp8.py)
-        from vila_tpu.ops.fp8 import fp8_linear
+        if fp8 == "group":
+            from vila_tpu.ops.fp8 import fp8_linear_grouped as fp8_fn
+        else:
+            from vila_tpu.ops.fp8 import fp8_linear as fp8_fn
 
-        y = fp8_linear(x, p["kernel"].astype(dtype))
+        y = fp8_fn(x, p["kernel"].astype(dtype))
         if "bias" in p:
             y = y + p["bias"].astype(dtype)
         return y

@@ -120,7 +120,114 @@ def _fp8_linear_bwd(res, g):
 
 fp8_linear.defvjp(_fp8_linear_fwd, _fp8_linear_bwd)
 
+# ---------------------------------------------------------------------------
+# Per-group scaling (COAT's per-group recipe,
+# llava/model/coat/activation/real_quantization/fp8linear.py): activations
+# carry a scale per (row, K-group of 128); weights per (128, 128) block.
+# Per-tensor scaling clips whole tensors to one outlier's range; per-group
+# bounds the error locally.
+# ---------------------------------------------------------------------------
+
+
+def quantize_grouped(
+    x: jnp.ndarray, dtype=E4M3, group: int = DEFAULT_BLOCK
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantize along the LAST axis with a scale per (row, group).
+
+    Returns (q, scales): q (*lead, ng, group), scales (*lead, ng) f32.
+    The last axis is zero-padded to a group multiple."""
+    *lead, k = x.shape
+    pad = (-k) % group
+    xf = x.astype(jnp.float32)
+    if pad:
+        xf = jnp.pad(xf, [(0, 0)] * len(lead) + [(0, pad)])
+    g = xf.reshape(*lead, -1, group)
+    amax = jnp.max(jnp.abs(g), axis=-1)
+    scale = jnp.maximum(amax / _fp8_max(dtype), 1e-12)
+    q = (g / scale[..., None]).astype(dtype)
+    return q, scale
+
+
+def dequantize_grouped(
+    q: jnp.ndarray, scale: jnp.ndarray, k: int, out_dtype=jnp.float32
+) -> jnp.ndarray:
+    x = q.astype(jnp.float32) * scale[..., None]
+    x = x.reshape(*q.shape[:-2], -1)
+    return x[..., :k].astype(out_dtype)
+
+
+def quantize_block2d(
+    w: jnp.ndarray, dtype=E4M3, block: int = DEFAULT_BLOCK
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(K, N) weight with one scale per (block, block) tile.
+
+    Returns (q, scales): q (nk, bk, nn, bn), scales (nk, nn) f32."""
+    k, n = w.shape
+    pk, pn = (-k) % block, (-n) % block
+    wf = w.astype(jnp.float32)
+    if pk or pn:
+        wf = jnp.pad(wf, ((0, pk), (0, pn)))
+    t = wf.reshape(-1, block, wf.shape[1] // block, block)
+    amax = jnp.max(jnp.abs(t), axis=(1, 3))
+    scale = jnp.maximum(amax / _fp8_max(dtype), 1e-12)
+    q = (t / scale[:, None, :, None]).astype(dtype)
+    return q, scale
+
+
+def dequantize_block2d(
+    q: jnp.ndarray, scale: jnp.ndarray, k: int, n: int, out_dtype=jnp.float32
+) -> jnp.ndarray:
+    t = q.astype(jnp.float32) * scale[:, None, :, None]
+    nk, bk, nn, bn = t.shape
+    w = t.reshape(nk * bk, nn * bn)
+    return w[:k, :n].astype(out_dtype)
+
+
+@jax.custom_vjp
+def fp8_linear_grouped(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """y = x @ w with per-group E4M3 operands (forward) and per-group E5M2
+    gradients (backward) — the COAT per-group recipe.
+
+    TPU shape: quantization error is exactly per-group fp8; the contraction
+    itself runs as one dense matmul on dequantized operands (the broadcast
+    dequant fuses into the matmul's operand read), so the MXU sees a
+    single large GEMM instead of a K/128-step accumulation loop."""
+    qx, sx = quantize_grouped(x, E4M3)
+    qw, sw = quantize_block2d(w, E4M3)
+    xd = dequantize_grouped(qx, sx, x.shape[-1], x.dtype)
+    wd = dequantize_block2d(qw, sw, w.shape[0], w.shape[1], x.dtype)
+    return jnp.dot(xd, wd)
+
+
+def _fp8_grouped_fwd(x, w):
+    qx, sx = quantize_grouped(x, E4M3)
+    qw, sw = quantize_block2d(w, E4M3)
+    xd = dequantize_grouped(qx, sx, x.shape[-1], x.dtype)
+    wd = dequantize_block2d(qw, sw, w.shape[0], w.shape[1], x.dtype)
+    y = jnp.dot(xd, wd)
+    xt = jnp.zeros((0,), x.dtype)
+    wt = jnp.zeros((0,), w.dtype)
+    return y, (qx, sx, qw, sw, x.shape[-1], w.shape[1], xt, wt)
+
+
+def _fp8_grouped_bwd(res, g):
+    qx, sx, qw, sw, k, n, xt, wt = res
+    qg, sg = quantize_grouped(g, E5M2)
+    gd = dequantize_grouped(qg, sg, n, jnp.float32)
+    wd = dequantize_block2d(qw, sw, k, n, jnp.float32)
+    xd = dequantize_grouped(qx, sx, k, jnp.float32)
+    dx = jnp.dot(gd, wd.T).astype(xt.dtype)
+    lead = tuple(range(xd.ndim - 1))
+    dw = jax.lax.dot_general(
+        xd, gd, ((lead, lead), ((), ()))
+    ).astype(wt.dtype)
+    return dx, dw
+
+
+fp8_linear_grouped.defvjp(_fp8_grouped_fwd, _fp8_grouped_bwd)
+
 # NOTE: the switch for FP8 decoder matmuls is `LLMConfig.fp8_matmul` (read
-# by qwen2._linear for every projection); there is deliberately no
+# by qwen2._linear for every projection): False | True/"tensor" (per-tensor
+# scales) | "group" (per-group COAT recipe above); there is deliberately no
 # param-tree tagging helper — a tag leaf would not survive the stacked-layer
 # lax.scan and the config flag already covers every eligible matmul.
