@@ -287,10 +287,28 @@ def main():
     ttft = diff_time(ttft_run, 1, 6, params, ids, tiles, media_pos)
     progress(f"ttft: {ttft * 1000:.2f} ms")
 
+    # ---------------- host<->device round-trip (tunnel) baseline ----------
+    # The dev TPU hangs off a network tunnel: ONE tiny jit dispatch + scalar
+    # readback costs ~30 ms that a co-located serving host does not pay.
+    # Measure it so engine TTFT can be reported tunnel-adjusted.
+    @jax.jit
+    def _tiny(x):
+        return x + 1
+
+    _z = jnp.zeros((), jnp.int32)
+    for _ in range(3):
+        int(_tiny(_z))
+    rtt_ms = float("inf")
+    for _ in range(10):
+        t0 = time.time()
+        int(_tiny(_z))
+        rtt_ms = min(rtt_ms, (time.time() - t0) * 1000)
+
     # ---------------- engine-level TTFT (host path included) ----------------
     # Through the public GenerationEngine: PIL image -> preprocess ->
-    # tokenize -> bucket -> vision encode -> prefill -> first token. This is
-    # what a server actually pays per request (VERDICT round-1 ask).
+    # tokenize -> bucket -> vision encode + prefill + first-token sample in
+    # ONE compiled call (generate._prefill_first). This is what a server
+    # actually pays per request (VERDICT round-1 ask).
     engine_ttft_ms = None
     try:
         from PIL import Image as PILImage
@@ -355,12 +373,22 @@ def main():
             if isinstance(engine_ttft_ms, float)
             else engine_ttft_ms
         ),
+        # co-located-host estimate: the engine path is ONE compiled call +
+        # one scalar readback, so subtracting the measured tunnel RTT gives
+        # what a production host (serving next to its TPU) pays
+        "host_rtt_ms": round(rtt_ms, 1),
+        "engine_ttft_adjusted_ms": (
+            round(engine_ttft_ms - rtt_ms, 1)
+            if isinstance(engine_ttft_ms, float)
+            else None
+        ),
         "decode_step_bytes_gb": round(step_bytes / 1e9, 2),
         "achieved_gbps": round(achieved_gbps, 1),
         "bandwidth_utilization": round(achieved_gbps / v5e_peak_gbps, 3),
         "notes": "baseline: NVILA-8B-TinyChat on A100 (186.8 tok/s, 45.2 ms TTFT); "
         "synthetic W4 weights (perf-only); differential timing over chained jit scans; "
-        "engine_ttft includes host preprocess+tokenize (dev-tunnel host xfer inflates it)",
+        "engine_ttft = full host path in ONE compiled call incl. the dev-tunnel round "
+        "trip; engine_ttft_adjusted subtracts the measured tunnel RTT (co-located host)",
     }
     print(json.dumps(result))
 

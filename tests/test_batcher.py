@@ -263,3 +263,25 @@ def test_batcher_rejects_overlong_prompt(engine):
                 "word " * 400, GenerationConfig(max_new_tokens=2)))
     finally:
         batcher.shutdown()
+
+
+def test_batcher_chunked_prefill_matches_serial(engine):
+    """Long prompts prefill in chunks on the admission worker (r2 weak
+    #10); output must equal the serial engine exactly."""
+    from vila_tpu.serving.batcher import ContinuousBatcher
+
+    gc = GenerationConfig(max_new_tokens=5, do_sample=False)
+    prompt = "word " * 200  # > one 128-token chunk after tokenization
+    serial = engine.generate_content(prompt, gc)
+
+    batcher = ContinuousBatcher(
+        engine, max_batch=2, max_len=1024, prefill_chunk=128
+    )
+    try:
+        got = batcher.generate_content(prompt, gc)
+        # short prompt takes the single-shot path in the same batcher
+        short = batcher.generate_content("hi there", gc)
+    finally:
+        batcher.shutdown()
+    assert got == serial
+    assert short == engine.generate_content("hi there", gc)

@@ -67,12 +67,22 @@ class ContinuousBatcher:
     `serving/server.py` can serve through it unchanged.
     """
 
-    def __init__(self, engine, max_batch: int = 4, max_len: int = 2048):
+    def __init__(
+        self,
+        engine,
+        max_batch: int = 4,
+        max_len: int = 2048,
+        prefill_chunk: int = 2048,
+    ):
         self.engine = engine
         self.cfg = engine.cfg
         self.tokenizer = engine.tokenizer
         self.max_batch = max_batch
         self.max_len = max_len
+        # long prompts prefill in chunks of this many tokens so active
+        # slots' decode steps interleave between chunks instead of stalling
+        # for one monolithic prefill (r2 weak #10)
+        self.prefill_chunk = prefill_chunk
         self.cache = qwen2.init_cache(
             self.cfg.llm, max_batch, max_len, per_slot_fill=True
         )
@@ -83,9 +93,12 @@ class ContinuousBatcher:
         self.top_ks = np.zeros((max_batch,), np.int32)
         self._rng = jax.random.PRNGKey(0)
         self._pending: "queue.Queue[_Request]" = queue.Queue()
+        # admissions prepared off-loop by the worker, awaiting a free slot
+        self._ready: "queue.Queue" = queue.Queue()
         self._wake = threading.Event()
         self._stop = False
         self._thread: Optional[threading.Thread] = None
+        self._admit_thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
 
     # ------------------------------------------------------------------
@@ -142,13 +155,20 @@ class ContinuousBatcher:
         if self._thread is None:
             self._thread = threading.Thread(target=self._loop, daemon=True)
             self._thread.start()
+        if self._admit_thread is None:
+            self._admit_thread = threading.Thread(
+                target=self._admission_loop, daemon=True
+            )
+            self._admit_thread.start()
 
     def shutdown(self) -> None:
         self._stop = True
         self._wake.set()
-        if self._thread is not None:
-            self._thread.join(timeout=10)
-            self._thread = None
+        for t in (self._thread, self._admit_thread):
+            if t is not None:
+                t.join(timeout=10)
+        self._thread = None
+        self._admit_thread = None
 
     def _free_slot(self) -> Optional[int]:
         for i, s in enumerate(self.slots):
@@ -156,8 +176,42 @@ class ContinuousBatcher:
                 return i
         return None
 
-    def _admit(self, slot_idx: int, req: _Request) -> None:
-        """Prefill the request (bs=1, bucketed) and insert into the slot."""
+    @functools.cached_property
+    def _embed_splice(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def embed_splice(params, ids, media_embeds, media_pos):
+            from vila_tpu.models import vlm
+
+            embeds = qwen2.embed_tokens(params["llm"], cfg.llm, ids)
+            return vlm.splice_media(embeds, media_embeds, media_pos)
+
+        return embed_splice
+
+    @functools.cached_property
+    def _chunk_fill(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def chunk_fill(params, embeds, token_valid, cache, last):
+            logits, cache = qwen2.forward(
+                params["llm"], cfg.llm,
+                inputs_embeds=embeds,
+                token_valid=token_valid,
+                cache=cache,
+                gather_position=last,
+            )
+            return logits[:, 0], cache
+
+        return chunk_fill
+
+    def _prepare(self, req: _Request):
+        """Off-loop admission work: encode media + prefill a bs=1 cache +
+        sample the first token. Returns everything `_install` needs. Runs
+        on the admission worker thread so the decode loop never waits on a
+        prefill; long prompts prefill in `prefill_chunk` segments so their
+        kernels interleave with decode steps on device."""
         eng = self.engine
         inputs = req.inputs
         gc = req.gen
@@ -184,20 +238,47 @@ class ContinuousBatcher:
         mp = np.full((media_embeds.shape[0],), 1 << 30, np.int32)
         mp[: len(inputs["media_pos"])] = inputs["media_pos"]
 
-        cache1 = qwen2.init_cache(self.cfg.llm, batch=1, max_len=self.max_len)
+        chunk = self.prefill_chunk
         prompt_last = jnp.asarray([prompt_len - 1], jnp.int32)
-        first_logits, cache1 = eng._prefill(
-            eng.params, jnp.asarray(ids), jnp.asarray(valid),
-            media_embeds, jnp.asarray(mp), cache1, prompt_last,
-        )
+        if chunk and s_pad > chunk and s_pad % chunk == 0:
+            embeds = self._embed_splice(
+                eng.params, ids, media_embeds, mp
+            )
+            cache1 = qwen2.init_cache(
+                self.cfg.llm, batch=1, max_len=self.max_len
+            )
+            first_logits = None
+            for a in range(0, s_pad, chunk):
+                seg = slice(a, a + chunk)
+                in_seg = max(0, min(prompt_len - 1 - a, chunk - 1))
+                lg, cache1 = self._chunk_fill(
+                    eng.params, embeds[:, seg], jnp.asarray(valid[:, seg]),
+                    cache1, jnp.asarray([in_seg], jnp.int32),
+                )
+                if a <= prompt_len - 1 < a + chunk:
+                    first_logits = lg  # chunk holding the last real token
+        else:
+            cache1 = qwen2.init_cache(
+                self.cfg.llm, batch=1, max_len=self.max_len
+            )
+            first_logits, cache1 = eng._prefill(
+                eng.params, jnp.asarray(ids), jnp.asarray(valid),
+                media_embeds, jnp.asarray(mp), cache1, prompt_last,
+            )
 
-        self._rng, sub = jax.random.split(self._rng)
+        with self._lock:
+            self._rng, sub = jax.random.split(self._rng)
         tok = int(sample_token(
             first_logits.astype(jnp.float32), sub, True,
             np.float32(gc.temperature if gc.do_sample else 0.0),
             np.float32(gc.top_p), np.int32(gc.top_k),
         )[0])
+        return (req, cache1, tok, prompt_len)
 
+    def _install(self, slot_idx: int, prepared) -> None:
+        """Loop-side admission: one donated-buffer row write, no prefill."""
+        req, cache1, tok, prompt_len = prepared
+        gc = req.gen
         slot = self.slots[slot_idx]
         slot.request = req
         slot.position = prompt_len
@@ -214,6 +295,22 @@ class ContinuousBatcher:
             cache1["fill"],
         )
         self._emit(slot_idx, tok)
+
+    def _admission_loop(self) -> None:
+        """Worker: drain pending requests into prepared admissions."""
+        while not self._stop:
+            try:
+                req = self._pending.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                prepared = self._prepare(req)
+            except Exception as e:  # report, don't kill the worker
+                req.out.put(e)
+                req.out.put(None)
+                continue
+            self._ready.put(prepared)
+            self._wake.set()
 
     def _emit(self, slot_idx: int, tok: int) -> None:
         slot = self.slots[slot_idx]
@@ -235,21 +332,19 @@ class ContinuousBatcher:
     def _loop(self) -> None:
         params = self.engine.params
         while not self._stop:
-            # admission: fill every free slot from the pending queue
+            # admission: install every prepared request into a free slot
+            # (prefill already happened on the admission worker — the only
+            # loop-side cost is one donated row write)
             admitted = False
             while True:
                 idx = self._free_slot()
                 if idx is None:
                     break
                 try:
-                    req = self._pending.get_nowait()
+                    prepared = self._ready.get_nowait()
                 except queue.Empty:
                     break
-                try:
-                    self._admit(idx, req)
-                except Exception as e:  # report, don't kill the loop
-                    req.out.put(e)
-                    req.out.put(None)
+                self._install(idx, prepared)
                 admitted = True
 
             active_idx = [i for i, s in enumerate(self.slots) if s.active]
@@ -265,7 +360,8 @@ class ContinuousBatcher:
             positions = np.asarray(
                 [s.position if s.active else 0 for s in self.slots], np.int32
             )
-            self._rng, sub = jax.random.split(self._rng)
+            with self._lock:
+                self._rng, sub = jax.random.split(self._rng)
             toks, self.cache = self._step(
                 params, jnp.asarray(self.tokens), self.cache,
                 jnp.asarray(positions), sub, jnp.asarray(active),
