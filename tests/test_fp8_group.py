@@ -159,3 +159,61 @@ def test_group_fp8_convergence_vs_bf16():
     assert abs(grouped[-1] - base[-1]) < 0.1 * abs(base[-1]) + 0.05, (
         base[-1], grouped[-1],
     )
+
+
+def test_fp8_activation_ops_grads():
+    """fp8 gelu / silu-mul / rmsnorm: forwards exact, grads within fp8
+    residual tolerance of the autodiff reference (COAT
+    real_quantization fused-op parity)."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(3, 256)).astype(np.float32))
+    up = jnp.asarray(rng.normal(size=(3, 256)).astype(np.float32))
+    scale = jnp.asarray(1.0 + 0.1 * rng.normal(size=(256,)).astype(np.float32))
+
+    # forwards are exact (no quantization on the value path)
+    np.testing.assert_allclose(
+        np.asarray(fp8.fp8_gelu(x)), np.asarray(jax.nn.gelu(x, approximate=False)),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fp8.fp8_silu_mul(x, up)), np.asarray(jax.nn.silu(x) * up),
+        rtol=1e-6,
+    )
+
+    # tolerance: the residual is per-group E4M3; derivative
+    # sensitivity amplifies the ~3% element error to ~15% on these probes
+    # (the accepted cost of fp8 activation compression). A formula bug
+    # would miss by O(1).
+    def close(a, b, tol=0.2):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).mean() <= tol * (np.abs(b).mean() + 1e-6), (
+            np.abs(a - b).mean(), np.abs(b).mean(),
+        )
+
+    g = jax.grad(lambda v: jnp.sum(fp8.fp8_gelu(v) ** 2))(x)
+    ge = jax.grad(lambda v: jnp.sum(jax.nn.gelu(v, approximate=False) ** 2))(x)
+    close(g, ge)
+
+    gg, gu = jax.grad(
+        lambda a, b: jnp.sum(fp8.fp8_silu_mul(a, b) ** 2), argnums=(0, 1)
+    )(x, up)
+    eg, eu = jax.grad(
+        lambda a, b: jnp.sum((jax.nn.silu(a) * b) ** 2), argnums=(0, 1)
+    )(x, up)
+    close(gg, eg)
+    close(gu, eu)
+
+    from vila_tpu.ops.norms import rms_norm
+
+    np.testing.assert_allclose(
+        np.asarray(fp8.fp8_rms_norm(x, scale)),
+        np.asarray(rms_norm(x, scale)), rtol=1e-5,
+    )
+    gx, gs = jax.grad(
+        lambda v, s: jnp.sum(fp8.fp8_rms_norm(v, s) ** 2), argnums=(0, 1)
+    )(x, scale)
+    ex, es = jax.grad(
+        lambda v, s: jnp.sum(rms_norm(v, s) ** 2), argnums=(0, 1)
+    )(x, scale)
+    close(gx, ex)
+    close(gs, es)

@@ -65,6 +65,25 @@ def doc_to_text_subtitle(
     )
 
 
+def doc_to_visual(doc: Dict[str, Any]) -> List[str]:
+    """Resolve the video file for a VideoMME doc from the lmms cache
+    (videomme_doc_to_visual behavior: try .mp4 / .MP4 / .mkv)."""
+    root = os.environ.get("LMMS_VIDEOMME_ROOT", "")
+    base = os.path.join(root, "data", str(doc.get("videoID", "")))
+    for ext in (".mp4", ".MP4", ".mkv", ".webm"):
+        if os.path.exists(base + ext):
+            return [base + ext]
+    raise FileNotFoundError(f"video not found: {base}.mp4")
+
+
+def doc_to_text_subtitle_env(doc: Dict[str, Any]) -> str:
+    """Subtitle prompt using LMMS_VIDEOMME_ROOT/subtitle/<id>.srt."""
+    root = os.environ.get("LMMS_VIDEOMME_ROOT", "")
+    return doc_to_text_subtitle(
+        doc, subtitle_root=os.path.join(root, "subtitle") if root else None
+    )
+
+
 def parse_mc_answer(pred: str) -> Optional[str]:
     m = re.search(r"\b([A-D])\b", pred.strip().upper())
     return m.group(1) if m else None

@@ -15,6 +15,7 @@ operands directly. Block size 128 matches the COAT group size.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -225,6 +226,108 @@ def _fp8_grouped_bwd(res, g):
 
 
 fp8_linear_grouped.defvjp(_fp8_grouped_fwd, _fp8_grouped_bwd)
+
+# ---------------------------------------------------------------------------
+# FP8 activation ops (COAT real_quantization fused gelu/silu/mul/norm,
+# llava/model/coat/activation/real_quantization/): on GPU these keep
+# activations in fp8 between Triton kernels; the TPU-shaped equivalent is
+# custom-VJP ops whose BACKWARD RESIDUALS are per-group fp8 — activation
+# memory drops ~2x below bf16 while XLA still fuses the forward math.
+# ---------------------------------------------------------------------------
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+@jax.custom_vjp
+def fp8_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact-forward gelu whose saved activation is per-group E4M3."""
+    return _gelu(x)
+
+
+def _fp8_gelu_fwd(x):
+    q, s = quantize_grouped(x, E4M3)
+    return _gelu(x), (q, s, x.shape[-1], jnp.zeros((0,), x.dtype))
+
+
+def _fp8_gelu_bwd(res, g):
+    q, s, k, t = res
+    x = dequantize_grouped(q, s, k, jnp.float32)
+    return ((g.astype(jnp.float32) * jax.grad(
+        lambda v: _gelu(v).sum()
+    )(x)).astype(t.dtype),)
+
+
+fp8_gelu.defvjp(_fp8_gelu_fwd, _fp8_gelu_bwd)
+
+
+@jax.custom_vjp
+def fp8_silu_mul(gate: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
+    """silu(gate) * up (the SwiGLU elementwise pair) with fp8 residuals."""
+    return jax.nn.silu(gate) * up
+
+
+def _fp8_silu_mul_fwd(gate, up):
+    qg, sg = quantize_grouped(gate, E4M3)
+    qu, su = quantize_grouped(up, E4M3)
+    return jax.nn.silu(gate) * up, (
+        qg, sg, qu, su, gate.shape[-1], jnp.zeros((0,), gate.dtype),
+    )
+
+
+def _fp8_silu_mul_bwd(res, g):
+    qg, sg, qu, su, k, t = res
+    gate = dequantize_grouped(qg, sg, k, jnp.float32)
+    up = dequantize_grouped(qu, su, k, jnp.float32)
+    g32 = g.astype(jnp.float32)
+    sig = jax.nn.sigmoid(gate)
+    silu = gate * sig
+    dsilu = sig * (1.0 + gate * (1.0 - sig))
+    return (
+        (g32 * up * dsilu).astype(t.dtype),
+        (g32 * silu).astype(t.dtype),
+    )
+
+
+fp8_silu_mul.defvjp(_fp8_silu_mul_fwd, _fp8_silu_mul_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fp8_rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-6):
+    """RMSNorm with an fp8-compressed saved activation (func_rmsnorm)."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def _fp8_rms_norm_fwd(x, scale, eps):
+    q, s = quantize_grouped(x, E4M3)
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = (x32 * rstd * scale.astype(jnp.float32)).astype(x.dtype)
+    return y, (q, s, rstd, scale, x.shape[-1], jnp.zeros((0,), x.dtype))
+
+
+def _fp8_rms_norm_bwd(eps, res, g):
+    q, s, rstd, scale, k, t = res
+    x = dequantize_grouped(q, s, k, jnp.float32)
+    g32 = g.astype(jnp.float32) * scale.astype(jnp.float32)
+    xn = x * rstd
+    # d/dx of x * rstd(x): g*rstd - xn * mean(g * xn) * rstd
+    dx = (g32 - xn * jnp.mean(g32 * xn, axis=-1, keepdims=True)) * rstd
+    dscale = jnp.sum(
+        (g.astype(jnp.float32) * xn),
+        axis=tuple(range(g.ndim - 1)),
+    )
+    return dx.astype(t.dtype), dscale.astype(scale.dtype)
+
+
+fp8_rms_norm.defvjp(_fp8_rms_norm_fwd, _fp8_rms_norm_bwd)
+
 
 # NOTE: the switch for FP8 decoder matmuls is `LLMConfig.fp8_matmul` (read
 # by qwen2._linear for every projection): False | True/"tensor" (per-tensor
