@@ -271,11 +271,22 @@ class GenerationEngine:
 
         @functools.partial(
             jax.jit,
-            static_argnames=("cache_len", "do_sample", "use_tiles"),
+            static_argnames=("s_pad", "mp_len", "cache_len", "do_sample",
+                             "use_tiles"),
         )
-        def prefill_first(params, ids, token_valid, tiles, media_embeds,
-                          media_pos, prompt_last, seed, temperature, top_p,
-                          top_k, cache_len, do_sample, use_tiles):
+        def prefill_first(params, hostbuf, floatbuf, tiles, media_embeds,
+                          s_pad, mp_len, cache_len, do_sample, use_tiles):
+            # hostbuf packs [ids | valid | media_pos | prompt_last | seed |
+            # top_k] into ONE int32 upload; floatbuf = [temperature, top_p].
+            # One transfer instead of seven — each host->device transfer on
+            # a remote-attached TPU costs ~RTT.
+            ids = hostbuf[:s_pad][None]
+            token_valid = (hostbuf[s_pad : 2 * s_pad] != 0)[None]
+            media_pos = hostbuf[2 * s_pad : 2 * s_pad + mp_len]
+            prompt_last = hostbuf[2 * s_pad + mp_len : 2 * s_pad + mp_len + 1]
+            seed = hostbuf[2 * s_pad + mp_len + 1]
+            top_k = hostbuf[2 * s_pad + mp_len + 2]
+            temperature, top_p = floatbuf[0], floatbuf[1]
             if use_tiles:
                 feats = vlm.encode_images(params, cfg, tiles)
                 media_embeds = feats.reshape(-1, feats.shape[-1])
@@ -299,6 +310,23 @@ class GenerationEngine:
             return tok, cache, rng
 
         return prefill_first
+
+    def _pack_hostbuf(self, ids, valid, mp, prompt_len, gc):
+        buf = np.concatenate([
+            ids[0].astype(np.int32),
+            valid[0].astype(np.int32),
+            mp.astype(np.int32),
+            np.asarray([prompt_len - 1, gc.seed, gc.top_k], np.int32),
+        ])
+        fbuf = np.asarray([gc.temperature, gc.top_p], np.float32)
+        return buf, fbuf
+
+    @functools.cached_property
+    def _dummy_embeds(self):
+        # device-resident constant: never re-uploaded per request
+        return jnp.zeros(
+            (8, self.cfg.llm.hidden_size), self.cfg.llm.compute_dtype
+        )
 
     @functools.cached_property
     def _decode(self):
@@ -430,15 +458,13 @@ class GenerationEngine:
             frame block row (end-'\\n' added by marker expansion), matching
             TSPVideoEncoder's per-pool concat (encoders/video/tsp.py:36-52)."""
             from vila_tpu.models.encoders import tsp_pool  # noqa: F401
+            from vila_tpu.utils.imageproc import resize_pil_batch
 
-            tiles = np.stack(
-                [
-                    preprocess.process_image(
-                        f, image_size=cfg.vision.image_size,
-                        image_aspect_ratio="resize",
-                    )[0][0]
-                    for f in frames
-                ]
+            # one native batched resize over the whole frame stack
+            # (native/imageproc.cpp) instead of per-frame PIL calls
+            tiles = resize_pil_batch(
+                [preprocess.load_image(f) for f in frames],
+                cfg.vision.image_size,
             )
             t = tiles.shape[0]
             nl = int(round(cfg.tokens_per_image ** 0.5))
@@ -623,17 +649,14 @@ class GenerationEngine:
                     gc, first_logits, cache, prompt_len, stop_ids
                 )
                 return
-            # numpy args ride the jit dispatch as one upload batch — no
-            # eager jnp.asarray round-trips (remote-TPU RTT is ~30 ms each)
             dummy_tiles = np.zeros(
                 (0, cfg.vision.image_size, cfg.vision.image_size, 3), np.uint8
             )
+            hostbuf, fbuf = self._pack_hostbuf(ids, valid, mp, prompt_len, gc)
             tok, cache, rng = self._prefill_first(
-                self.params, ids, valid,
-                dummy_tiles, media_embeds, mp,
-                prompt_last, gc.seed,
-                gc.temperature, gc.top_p, gc.top_k,
-                cache_len=cache_len, do_sample=gc.do_sample, use_tiles=False,
+                self.params, hostbuf, fbuf, dummy_tiles, media_embeds,
+                s_pad=s_pad, mp_len=len(mp), cache_len=cache_len,
+                do_sample=gc.do_sample, use_tiles=False,
             )
         else:
             # fast path: plain tiles — vision encode + prefill + sample in
@@ -647,15 +670,11 @@ class GenerationEngine:
                 (n_pad * cfg.tokens_per_image,), 1 << 30, np.int32
             )
             mp[: len(media_pos)] = media_pos
-            dummy_embeds = np.zeros(
-                (8, cfg.llm.hidden_size), np.float32
-            )
+            hostbuf, fbuf = self._pack_hostbuf(ids, valid, mp, prompt_len, gc)
             tok, cache, rng = self._prefill_first(
-                self.params, ids, valid,
-                tiles_p, dummy_embeds, mp,
-                prompt_last, gc.seed,
-                gc.temperature, gc.top_p, gc.top_k,
-                cache_len=cache_len, do_sample=gc.do_sample, use_tiles=True,
+                self.params, hostbuf, fbuf, tiles_p, self._dummy_embeds,
+                s_pad=s_pad, mp_len=len(mp), cache_len=cache_len,
+                do_sample=gc.do_sample, use_tiles=True,
             )
 
         first = int(tok[0])
