@@ -568,6 +568,7 @@ def forward(
             all_layers["input_layernorm"]["scale"],
             hkv=cfg.num_key_value_heads, hd=cfg.head_dim_,
             eps=cfg.rms_norm_eps,
+            fill=fill,  # KV DMA streams only the live cache prefix
         )
         return (h8, qkv8.astype(jnp.bfloat16), ck_all, cv_all), None
 

@@ -493,7 +493,8 @@ def fused_down_qkv(
         ),
     )(
         jnp.stack([jnp.asarray(layer_index, jnp.int32),
-                   jnp.asarray(l_next, jnp.int32)]),
+                   jnp.asarray(l_next, jnp.int32),
+                   jnp.asarray(n_live_blocks, jnp.int32)]),
         gu, h,
         jax.lax.dynamic_index_in_dim(
             gamma_in.astype(jnp.bfloat16), l_next, 0
@@ -540,10 +541,11 @@ def _fused_layer_kernel(
     h_out,  # (8, D) bf16 (broadcast rows)
     qkv_out,  # (8, dqkv) bf16 (broadcast rows)
     *,
-    mo, mg, md, mq, n_bo, n_bg, n_bd, n_bq, eps, hkv, hd,
+    mo, mg, md, mq, n_bo, n_bg, n_bd, n_bq, eps, hkv, hd, kv_blk,
 ):
     l = l_ref[0]
     l_next = l_ref[1]
+    n_live = l_ref[2]  # live KV blocks of kv_blk rows (ceil((fill+1)/blk))
     (half_o, bo, nj_o, ngh_o, gs_o) = mo
     (half_g, bg, nj_g, ngh_g, gs_g) = mg
     (half_d, bd, nj_d, ngh_d, gs_d) = md
@@ -551,6 +553,7 @@ def _fused_layer_kernel(
     s_len = k_hbm.shape[2]
     inter = 2 * half_d
     p_rows = 8  # group-padded q rows per kv head
+    n_kv_blk = s_len // kv_blk if kv_blk else 1
 
     def body(k_buf, v_buf, o_bufs, o_sb, g_bufs, g_sb, d_bufs, d_sb,
              q_bufs, q_sb, gu_buf, d_acc,
@@ -574,10 +577,27 @@ def _fused_layer_kernel(
         # DMA queue drains in issue order: KV first (attention gates
         # everything), then the whole o stream, then the gu head; later
         # streams chain off the refill tails below.
-        kv_k = pltpu.make_async_copy(k_hbm.at[l, 0], k_buf, kv_sem.at[0])
-        kv_v = pltpu.make_async_copy(v_hbm.at[l, 0], v_buf, kv_sem.at[1])
-        kv_k.start()
-        kv_v.start()
+        # KV streams block-wise and SKIPS blocks past the fill cursor —
+        # dead cache slots are masked anyway, so their bytes are pure
+        # waste (~1.2% of step bytes at ctx 1280 / cache 2048).
+        kv_copies = []
+        for i in range(n_kv_blk):
+            sl = pl.ds(i * kv_blk, kv_blk) if n_kv_blk > 1 else slice(None)
+            ck = pltpu.make_async_copy(
+                k_hbm.at[l, 0, sl], k_buf.at[sl], kv_sem.at[0, i]
+            )
+            cv = pltpu.make_async_copy(
+                v_hbm.at[l, 0, sl], v_buf.at[sl], kv_sem.at[1, i]
+            )
+            if n_kv_blk > 1:
+                @pl.when(i < n_live)
+                def _(ck=ck, cv=cv):
+                    ck.start()
+                    cv.start()
+            else:
+                ck.start()
+                cv.start()
+            kv_copies.append((i, ck, cv))
         for t in range(n_bo):
             for d in dma_o(t, t):
                 d.start()
@@ -592,9 +612,26 @@ def _fused_layer_kernel(
                 for d in dma_q(t, t):
                     d.start()
 
+        # zero the skipped tail blocks (masked out of the softmax, but
+        # uninitialized VMEM could hold NaN bit patterns) while DMAs fly
+        if n_kv_blk > 1:
+            for i in range(n_kv_blk):
+                @pl.when(i >= n_live)
+                def _(i=i):
+                    z = jnp.zeros((kv_blk, k_buf.shape[1]), k_buf.dtype)
+                    k_buf[pl.ds(i * kv_blk, kv_blk)] = z
+                    v_buf[pl.ds(i * kv_blk, kv_blk)] = z
+
         # ---- attention (b=1, GQA) ----
-        kv_k.wait()
-        kv_v.wait()
+        for i, ck, cv in kv_copies:
+            if n_kv_blk > 1:
+                @pl.when(i < n_live)
+                def _(ck=ck, cv=cv):
+                    ck.wait()
+                    cv.wait()
+            else:
+                ck.wait()
+                cv.wait()
         mask = mask_ref[0][None, :]  # (1, S) f32
         outs = []
         for g in range(hkv):  # static
@@ -755,7 +792,7 @@ def _fused_layer_kernel(
         q_sb=pltpu.VMEM((n_bq, q_s.shape[-2], bq), jnp.bfloat16),
         gu_buf=pltpu.VMEM((8, mg[1] * mg[2]), jnp.bfloat16),
         d_acc=pltpu.VMEM((8, md[1] * md[2]), jnp.float32),
-        kv_sem=pltpu.SemaphoreType.DMA((2,)),
+        kv_sem=pltpu.SemaphoreType.DMA((2, n_kv_blk)),
         o_sem=pltpu.SemaphoreType.DMA((n_bo,)),
         o_ssem=pltpu.SemaphoreType.DMA((n_bo,)),
         g_sem=pltpu.SemaphoreType.DMA((n_bg,)),
@@ -779,9 +816,13 @@ def fused_layer(
     gamma_in: jnp.ndarray,  # (L, D)
     *,
     hkv: int, hd: int, eps: float = 1e-6,
+    fill: jnp.ndarray = None,  # () int32: last written cache slot index
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One decoder layer (bs=1, quantized decode): returns
-    (h_new (8, D), qkv_of_layer_l_plus_1 (8, dqkv)); row 0 is real."""
+    (h_new (8, D), qkv_of_layer_l_plus_1 (8, dqkv)); row 0 is real.
+
+    With `fill`, KV DMAs stream only the live prefix of the cache
+    (blocks of 256 rows up to the fill cursor) instead of all S slots."""
     L = o_slot["packed"].shape[0]
     l_next = jnp.minimum(layer_index + 1, L - 1)
     dqkv = qkv_slot["packed"].shape[1] * qkv_slot["packed"].shape[-1]
@@ -847,6 +888,12 @@ def fused_layer(
     mg = _meta5(gu_slot)
     md = _meta5(down_slot)
     mq = _meta5(qkv_slot)
+    s_len_ = k_cache.shape[2]
+    kv_blk = 256 if s_len_ % 256 == 0 and s_len_ > 256 else 0
+    if kv_blk and fill is not None:
+        n_live_blocks = fill // kv_blk + 1
+    else:
+        n_live_blocks = s_len_ // kv_blk if kv_blk else 1
     o_block = mo[0] * mo[1]
     n_bo = mo[2] if mo[2] * o_block <= (8 << 20) else max(
         2, (6 << 20) // o_block)
@@ -860,7 +907,7 @@ def fused_layer(
             _fused_layer_kernel,
             mo=mo, mg=mg, md=md, mq=mq,
             n_bo=n_bo, n_bg=n_bg, n_bd=n_bd, n_bq=n_bq,
-            eps=eps, hkv=hkv, hd=hd,
+            eps=eps, hkv=hkv, hd=hd, kv_blk=kv_blk,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -897,7 +944,8 @@ def fused_layer(
         ),
     )(
         jnp.stack([jnp.asarray(layer_index, jnp.int32),
-                   jnp.asarray(l_next, jnp.int32)]),
+                   jnp.asarray(l_next, jnp.int32),
+                   jnp.asarray(n_live_blocks, jnp.int32)]),
         q32.astype(jnp.bfloat16), mask.astype(jnp.float32), h,
         gpost_row, gin_row, bias_row,
         k_cache, v_cache,
