@@ -493,8 +493,7 @@ def fused_down_qkv(
         ),
     )(
         jnp.stack([jnp.asarray(layer_index, jnp.int32),
-                   jnp.asarray(l_next, jnp.int32),
-                   jnp.asarray(n_live_blocks, jnp.int32)]),
+                   jnp.asarray(l_next, jnp.int32)]),
         gu, h,
         jax.lax.dynamic_index_in_dim(
             gamma_in.astype(jnp.bfloat16), l_next, 0
