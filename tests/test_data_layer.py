@@ -186,3 +186,30 @@ def test_collator_ps3_extras():
     batch = Collator(seq_len=8)([ex, ex])
     assert batch["pixel_values_high"].shape == (2, 1, 56, 56, 3)
     assert batch["gt_selection_maps"].shape == (2, 1, 4, 4)
+
+
+def test_short_video_filter(tmp_path):
+    """Size-gated video record filtering (short_video_filter.py parity)."""
+    import json
+
+    from vila_tpu.data.filters import filter_videos, main
+
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    (vdir / "good.mp4").write_bytes(b"x" * 200_000)
+    (vdir / "small.mp4").write_bytes(b"x" * 10)
+    records = [
+        {"video": "good.mp4", "q": 1},
+        {"video": "small.mp4", "q": 2},
+        {"video": "missing.mp4", "q": 3},
+        {"id": "good", "q": 4},  # id -> good.mp4 convention
+    ]
+    kept = filter_videos(records, str(vdir))
+    assert [r["q"] for r in kept] == [1, 4]
+
+    inp = tmp_path / "in.json"
+    outp = tmp_path / "out.json"
+    inp.write_text(json.dumps(records))
+    assert main(["--input", str(inp), "--output", str(outp),
+                 "--video-dir", str(vdir)]) == 0
+    assert len(json.loads(outp.read_text())) == 2
