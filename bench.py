@@ -397,15 +397,16 @@ def main():
             if isinstance(engine_ttft_ms, float)
             else engine_ttft_ms
         ),
-        # co-located-host estimate: the engine path is exactly TWO tunnel
-        # round trips — (1) argument upload + dispatch (the measured
-        # upload-shaped RTT), (2) first-token scalar readback (the scalar
-        # RTT) — both ~0.1 ms on a host next to its TPU. Subtracting them
-        # leaves device compute + host preprocessing.
+        # co-located-host estimate: the engine path is ONE blocking call
+        # (argument upload + dispatch + first-token scalar readback). The
+        # measured upload-shaped RTT times exactly that same shape — upload
+        # AND readback legs, ~negligible compute — so it alone is the
+        # tunnel overhead of the engine call; subtracting the scalar RTT
+        # again would double-count the readback leg.
         "host_rtt_ms": round(rtt_ms, 1),
         "upload_rtt_ms": round(upload_rtt_ms, 1),
         "engine_ttft_adjusted_ms": (
-            round(engine_ttft_ms - upload_rtt_ms - rtt_ms, 1)
+            round(engine_ttft_ms - upload_rtt_ms, 1)
             if isinstance(engine_ttft_ms, float)
             else None
         ),
@@ -414,8 +415,9 @@ def main():
         "bandwidth_utilization": round(achieved_gbps / v5e_peak_gbps, 3),
         "notes": "baseline: NVILA-8B-TinyChat on A100 (186.8 tok/s, 45.2 ms TTFT); "
         "synthetic W4 weights (perf-only); differential timing over chained jit scans; "
-        "engine_ttft = full host path (ONE compiled call + one readback) incl. two "
-        "dev-tunnel round trips; engine_ttft_adjusted subtracts both measured RTTs "
+        "engine_ttft = full host path (ONE blocking compiled call: upload + dispatch "
+        "+ first-token readback over the dev tunnel); engine_ttft_adjusted subtracts "
+        "the measured upload-shaped RTT, which covers both tunnel legs "
         "(co-located host estimate)",
     }
     print(json.dumps(result))

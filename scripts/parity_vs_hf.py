@@ -125,52 +125,14 @@ def quantize_engine(engine):
 
 def _torch_projector(proj_dir: str, proj_cfg):
     """Torch replica of the reference projector nn.Sequential
-    (base_projector.py:140-225), loaded from the component state dict."""
-    import torch
-    import torch.nn as nn
-
+    (base_projector.py:140-225). Reuses the single-source `VILAProjector`
+    from the HF export module so the parity harness and the exported
+    remote code cannot silently diverge (tests/test_projector_parity.py
+    keeps its own independent oracle)."""
+    from vila_tpu.export.modeling_vila import VILAProjector
     from vila_tpu.models import projector as projector_lib
 
-    class TorchDown(nn.Module):
-        def __init__(self, r):
-            super().__init__()
-            self.r = r
-
-        def forward(self, x):
-            n, s, c = x.shape
-            side = int(s**0.5)
-            x = x.reshape(n, side, side, c)
-            r = self.r
-            w = h = side
-            if w % r:
-                x = torch.cat(
-                    [x, torch.zeros((n, r - w % r, h, c), dtype=x.dtype)], 1
-                )
-                n, w, h, c = x.size()
-            if h % r:
-                x = torch.cat(
-                    [x, torch.zeros((n, w, r - h % r, c), dtype=x.dtype)], 2
-                )
-                n, w, h, c = x.size()
-            x = x.view(n, w, int(h / r), int(c * r))
-            x = x.permute(0, 2, 1, 3).contiguous()
-            x = x.view(n, int(h / r), int(w / r), int(c * r * r))
-            x = x.permute(0, 2, 1, 3).contiguous()
-            return x.reshape(n, -1, x.shape[-1])
-
-    mods = []
-    for op, din, dout in projector_lib.build_spec(proj_cfg):
-        if op == "down2":
-            mods.append(TorchDown(2))
-        elif op == "down3":
-            mods.append(TorchDown(3))
-        elif op == "ln":
-            mods.append(nn.LayerNorm(din))
-        elif op == "linear":
-            mods.append(nn.Linear(din, dout))
-        elif op == "gelu":
-            mods.append(nn.GELU())
-    seq = nn.Sequential(*mods)
+    proj = VILAProjector(projector_lib.build_spec(proj_cfg))
 
     from safetensors.torch import load_file
     import glob
@@ -178,10 +140,14 @@ def _torch_projector(proj_dir: str, proj_cfg):
     sd = {}
     for f in sorted(glob.glob(os.path.join(proj_dir, "*.safetensors"))):
         sd.update(load_file(f))
-    sd = {k.removeprefix("mm_projector.").removeprefix("layers."): v
-          for k, v in sd.items()}
-    seq.load_state_dict(sd)
-    return seq.float().eval()
+    remapped = {}
+    for k, v in sd.items():
+        k = k.removeprefix("mm_projector.")
+        if not k.startswith("layers."):
+            k = "layers." + k
+        remapped[k] = v
+    proj.load_state_dict(remapped)
+    return proj.float().eval()
 
 
 def load_torch(ckpt: str, cfg):

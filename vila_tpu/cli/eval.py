@@ -28,6 +28,14 @@ def load_registry(path: Optional[str] = None) -> Dict[str, Any]:
 
 
 def json_path(obj: Any, path: str) -> Any:
+    """Resolve a registry metric path against a metrics.json payload.
+
+    Metric writers use two shapes: flat slash keys stored verbatim
+    (benchmarks.py: {"mme/total": 1523.0}) and nested dicts
+    (smoke.py: {"smoke": {"pass_rate": 1.0}}). Accept both — exact flat
+    key wins, then nested traversal."""
+    if isinstance(obj, dict) and path in obj:
+        return obj[path]
     for key in path.split("/"):
         obj = obj[key]
     return obj

@@ -772,7 +772,13 @@ def run_benchmark(
 
         from vila_tpu.serving.batcher import ContinuousBatcher
 
-        batcher = ContinuousBatcher(engine, max_batch=concurrency)
+        # size the batcher's KV window off the engine's, not the 2048
+        # default — video prompts that fit serially must also fit here
+        batcher = ContinuousBatcher(
+            engine,
+            max_batch=concurrency,
+            max_len=getattr(engine, "max_cache_len", 2048),
+        )
         try:
             with ThreadPoolExecutor(max_workers=concurrency) as pool:
                 outs = list(

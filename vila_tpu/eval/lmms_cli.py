@@ -42,18 +42,25 @@ def main(argv=None) -> int:
     import vila_tpu.eval.lmms  # registers the "vila_tpu" model
     from vila_tpu.eval import lmms_tasks
 
-    lmms_tasks.register()
+    task_manager = lmms_tasks.register()
 
     model_args = f"model_path={args.model_path}"
     if args.frames:
         model_args += f",num_video_frames={args.frames}"
 
+    kwargs = {}
+    if task_manager is not None:
+        import inspect
+
+        if "task_manager" in inspect.signature(simple_evaluate).parameters:
+            kwargs["task_manager"] = task_manager
     results = simple_evaluate(
         model="vila_tpu",
         model_args=model_args,
         tasks=[args.task],
         limit=args.limit,
         batch_size=1,
+        **kwargs,
     )
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -61,9 +68,13 @@ def main(argv=None) -> int:
     for task, vals in (results or {}).get("results", {}).items():
         primary = None
         for key, v in vals.items():
-            if isinstance(v, (int, float)):
+            if not isinstance(v, (int, float)):
+                continue
+            metrics[f"lmms/{task}/{key}"] = v
+            # headline metric = first non-stderr numeric (harness dicts
+            # interleave "acc,none" with "acc_stderr,none")
+            if primary is None and "stderr" not in key:
                 primary = v
-                metrics[f"lmms/{task}/{key}"] = v
         if primary is not None:
             metrics[f"lmms/{task}"] = primary
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:

@@ -85,8 +85,22 @@ def doc_to_text_subtitle_env(doc: Dict[str, Any]) -> str:
 
 
 def parse_mc_answer(pred: str) -> Optional[str]:
-    m = re.search(r"\b([A-D])\b", pred.strip().upper())
-    return m.group(1) if m else None
+    """Extract the chosen option letter from a free-form answer.
+
+    Case matters: uppercasing the whole prediction would turn the English
+    article in "it is a man" into option A, so lowercase letters only count
+    when they are unambiguously an option mark ("(a)", "a)", "a.", "a:")
+    or a bare one-letter reply."""
+    s = pred.strip()
+    m = re.search(r"\b([A-D])\b", s)
+    if m:
+        return m.group(1)
+    m = re.search(r"\(([a-d])\)|\b([a-d])[).:]", s)
+    if m:
+        return (m.group(1) or m.group(2)).upper()
+    if len(s) == 1 and s.upper() in "ABCD":
+        return s.upper()
+    return None
 
 
 def process_results(doc: Dict[str, Any], results: List[str]) -> Dict[str, Any]:
@@ -95,16 +109,19 @@ def process_results(doc: Dict[str, Any], results: List[str]) -> Dict[str, Any]:
     return {"videomme_accuracy": float(pred == gold)}
 
 
-def register() -> bool:
-    """Register the videomme / videomme_w_subtitle tasks with lmms-eval.
-    Returns False when the harness is not installed."""
+def register():
+    """Build an lmms-eval TaskManager that includes the in-repo
+    `lmms_yaml/` task dir (videomme / videomme_w_subtitle variants), or
+    None when the harness is not installed. The caller passes it to
+    `simple_evaluate(task_manager=...)` — lmms-eval discovers tasks only
+    through TaskManager include paths, not environment variables."""
+    yaml_dir = os.path.join(os.path.dirname(__file__), "lmms_yaml")
     try:
-        from lmms_eval.api.task import ConfigurableTask  # noqa: F401
-        from lmms_eval.tasks import TaskManager  # noqa: F401
+        from lmms_eval.tasks import TaskManager
     except Exception:
-        return False
-    # lmms-eval discovers tasks from yaml dirs; point it at ours
-    os.environ.setdefault(
-        "LMMS_EVAL_TASKS_PATH", os.path.join(os.path.dirname(__file__), "lmms_yaml")
-    )
-    return True
+        return None
+    try:
+        return TaskManager(include_path=yaml_dir)
+    except TypeError:
+        # older harnesses: TaskManager(verbosity, include_path=...)
+        return TaskManager("INFO", include_path=yaml_dir)

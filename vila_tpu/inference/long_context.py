@@ -191,7 +191,13 @@ class LongContextEngine:
         left = max_new_tokens - 1
         with self.mesh:
             while left > 0 and int(positions[0]) < self.max_cache_len:
-                steps = min(decode_chunk, left)
+                # bound the scan by remaining cache capacity too: each step
+                # writes one KV row, and dynamic_update_slice would clamp
+                # out-of-range writes into the final slot (silent cache
+                # corruption) rather than failing
+                steps = min(
+                    decode_chunk, left, self.max_cache_len - int(positions[0])
+                )
                 toks, tokd, cache, posd = self._decode_fn(
                     self.params, tok, positions, cache, steps
                 )
