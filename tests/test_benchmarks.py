@@ -443,6 +443,22 @@ def test_lmms_videomme_task_helpers(tmp_path):
     assert T.parse_mc_answer("The answer is B") == "B"
     assert T.process_results(doc, ["B."]) == {"videomme_accuracy": 1.0}
     assert T.process_results(doc, ["A"]) == {"videomme_accuracy": 0.0}
+    # prose containing the English article must not parse as option A
+    assert T.parse_mc_answer("It is a man sitting") is None
+    assert T.parse_mc_answer("(b) because of the dog") == "B"
+    assert T.parse_mc_answer("c.") == "C"
+    assert T.parse_mc_answer("d") == "D"
+
+
+def test_json_path_flat_and_nested():
+    from vila_tpu.cli.eval import json_path
+
+    # flat slash keys (benchmarks.py writers)
+    assert json_path({"mme/total": 1523.0}, "mme/total") == 1523.0
+    # nested traversal (smoke.py writer)
+    assert json_path({"smoke": {"pass_rate": 1.0}}, "smoke/pass_rate") == 1.0
+    # exact flat key wins over traversal
+    assert json_path({"a/b": 1, "a": {"b": 2}}, "a/b") == 1
 
 
 def test_run_benchmark_via_batcher(monkeypatch):

@@ -83,3 +83,27 @@ def test_stop_ids_and_multichunk_prefill(llm):
     # stopping at the second token truncates the output there
     stopped = eng.generate(embeds, max_new_tokens=8, stop_ids=[full[1]])
     assert stopped == full[:1]
+
+
+def test_decode_stops_at_cache_capacity(llm):
+    """KV writes must never clamp past the cache end: with s + n > cache
+    capacity, generation stops exactly at capacity and every produced
+    token matches the unconstrained reference prefix (a clamped
+    dynamic_update_slice would corrupt the final slot and diverge)."""
+    cfg, params = llm
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("sp",))
+    rng = np.random.default_rng(2)
+    s = 248
+    embeds = jnp.asarray(
+        rng.normal(scale=0.5, size=(1, s, cfg.hidden_size)).astype(np.float32)
+    )
+    eng = LongContextEngine(
+        params, cfg, mesh, max_cache_len=256, prefill_chunk=128
+    )
+    # asks for 16 but only 9 fit: the first token needs no KV write (it
+    # comes from prefill logits) and the remaining 8 decode steps write
+    # rows 248..255 before the cache is full
+    got = eng.generate(embeds, max_new_tokens=16, decode_chunk=8)
+    assert len(got) == 256 - s + 1
+    ref = _reference_generate(params, cfg, embeds, 256 - s + 1, 512)
+    assert got == ref, (got, ref)
