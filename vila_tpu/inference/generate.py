@@ -272,21 +272,35 @@ class GenerationEngine:
         @functools.partial(
             jax.jit,
             static_argnames=("s_pad", "mp_len", "cache_len", "do_sample",
-                             "use_tiles"),
+                             "use_tiles", "n_tiles"),
         )
-        def prefill_first(params, hostbuf, floatbuf, tiles, media_embeds,
-                          s_pad, mp_len, cache_len, do_sample, use_tiles):
-            # hostbuf packs [ids | valid | media_pos | prompt_last | seed |
-            # top_k] into ONE int32 upload; floatbuf = [temperature, top_p].
-            # One transfer instead of seven — each host->device transfer on
-            # a remote-attached TPU costs ~RTT.
+        def prefill_first(params, payload, media_embeds,
+                          s_pad, mp_len, cache_len, do_sample, use_tiles,
+                          n_tiles):
+            # payload is ONE uint8 upload: [tile pixels | hostbuf bytes]
+            # where hostbuf packs [ids | valid | media_pos | prompt_last |
+            # seed | top_k | temperature.bits | top_p.bits] as int32
+            # (recovered by bitcast — exact). A single host->device array
+            # transfer instead of eight: each separate transfer on a
+            # remote-attached TPU pays tunnel latency.
+            S = cfg.vision.image_size
+            tb = n_tiles * S * S * 3
+            tiles = payload[:tb].reshape(n_tiles, S, S, 3)
+            hostbuf = jax.lax.bitcast_convert_type(
+                payload[tb:].reshape(-1, 4), jnp.int32
+            )
             ids = hostbuf[:s_pad][None]
             token_valid = (hostbuf[s_pad : 2 * s_pad] != 0)[None]
             media_pos = hostbuf[2 * s_pad : 2 * s_pad + mp_len]
             prompt_last = hostbuf[2 * s_pad + mp_len : 2 * s_pad + mp_len + 1]
             seed = hostbuf[2 * s_pad + mp_len + 1]
             top_k = hostbuf[2 * s_pad + mp_len + 2]
-            temperature, top_p = floatbuf[0], floatbuf[1]
+            temperature = jax.lax.bitcast_convert_type(
+                hostbuf[2 * s_pad + mp_len + 3], jnp.float32
+            )
+            top_p = jax.lax.bitcast_convert_type(
+                hostbuf[2 * s_pad + mp_len + 4], jnp.float32
+            )
             if use_tiles:
                 feats = vlm.encode_images(params, cfg, tiles)
                 media_embeds = feats.reshape(-1, feats.shape[-1])
@@ -312,14 +326,13 @@ class GenerationEngine:
         return prefill_first
 
     def _pack_hostbuf(self, ids, valid, mp, prompt_len, gc):
-        buf = np.concatenate([
+        return np.concatenate([
             ids[0].astype(np.int32),
             valid[0].astype(np.int32),
             mp.astype(np.int32),
             np.asarray([prompt_len - 1, gc.seed, gc.top_k], np.int32),
+            np.asarray([gc.temperature, gc.top_p], np.float32).view(np.int32),
         ])
-        fbuf = np.asarray([gc.temperature, gc.top_p], np.float32)
-        return buf, fbuf
 
     @functools.cached_property
     def _dummy_embeds(self):
@@ -649,14 +662,11 @@ class GenerationEngine:
                     gc, first_logits, cache, prompt_len, stop_ids
                 )
                 return
-            dummy_tiles = np.zeros(
-                (0, cfg.vision.image_size, cfg.vision.image_size, 3), np.uint8
-            )
-            hostbuf, fbuf = self._pack_hostbuf(ids, valid, mp, prompt_len, gc)
+            hostbuf = self._pack_hostbuf(ids, valid, mp, prompt_len, gc)
             tok, cache, rng = self._prefill_first(
-                self.params, hostbuf, fbuf, dummy_tiles, media_embeds,
+                self.params, hostbuf.view(np.uint8), media_embeds,
                 s_pad=s_pad, mp_len=len(mp), cache_len=cache_len,
-                do_sample=gc.do_sample, use_tiles=False,
+                do_sample=gc.do_sample, use_tiles=False, n_tiles=0,
             )
         else:
             # fast path: plain tiles — vision encode + prefill + sample in
@@ -664,20 +674,29 @@ class GenerationEngine:
             tiles = np.concatenate([e["tiles"] for e in entries])
             n = tiles.shape[0]
             n_pad = _bucket(n, TILE_BUCKETS)
-            tiles_p = np.zeros((n_pad,) + tiles.shape[1:], tiles.dtype)
-            tiles_p[:n] = tiles
             mp = np.full(
                 (n_pad * cfg.tokens_per_image,), 1 << 30, np.int32
             )
             mp[: len(media_pos)] = media_pos
-            hostbuf, fbuf = self._pack_hostbuf(ids, valid, mp, prompt_len, gc)
+            hostbuf = self._pack_hostbuf(ids, valid, mp, prompt_len, gc)
+            # tile pixels + hostbuf in one flat uint8 payload (single
+            # host->device transfer; padding tiles stay zero)
+            tile_elems = int(np.prod(tiles.shape[1:]))
+            payload = np.zeros(
+                (n_pad * tile_elems + 4 * hostbuf.size,), np.uint8
+            )
+            payload[: tiles.size] = tiles.reshape(-1)
+            payload[n_pad * tile_elems :] = hostbuf.view(np.uint8)
             tok, cache, rng = self._prefill_first(
-                self.params, hostbuf, fbuf, tiles_p, self._dummy_embeds,
+                self.params, payload, self._dummy_embeds,
                 s_pad=s_pad, mp_len=len(mp), cache_len=cache_len,
-                do_sample=gc.do_sample, use_tiles=True,
+                do_sample=gc.do_sample, use_tiles=True, n_tiles=n_pad,
             )
 
-        first = int(tok[0])
+        # one host transfer of the (1,)-array: `int(tok[0])` would dispatch
+        # a device indexing op first — an extra round trip on a
+        # remote-attached TPU (~30 ms on the dev tunnel)
+        first = int(np.asarray(tok)[0])
         if first in stop_ids:
             return
         yield [first]
@@ -701,7 +720,7 @@ class GenerationEngine:
             if accepted:
                 yield accepted
             steps_left -= steps
-            if int(positions[0]) >= cache["k"].shape[2]:
+            if int(np.asarray(positions)[0]) >= cache["k"].shape[2]:
                 return
 
     def _ps3_top_down_prompt(self, inputs: Dict[str, Any]) -> jnp.ndarray:
