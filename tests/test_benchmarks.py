@@ -10,6 +10,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 import numpy as np
 import pytest
 
+from vila_tpu.eval import benchmarks
 from vila_tpu.eval import benchmarks as B
 
 
@@ -448,6 +449,35 @@ def test_lmms_videomme_task_helpers(tmp_path):
     assert T.parse_mc_answer("(b) because of the dog") == "B"
     assert T.parse_mc_answer("c.") == "C"
     assert T.parse_mc_answer("d") == "D"
+
+
+def test_lmms_yaml_function_refs_resolve_like_lm_eval():
+    """lmms-eval resolves `!function mod.fn` by exec-ing <yaml_dir>/<mod>.py
+    as a loose file (NOT an importlib dotted import) — replicate that
+    resolver over every yaml to catch unresolvable refs."""
+    import glob
+    import importlib.util
+    import re
+
+    yaml_dir = os.path.join(
+        os.path.dirname(benchmarks.__file__), "lmms_yaml"
+    )
+    refs = []
+    for f in glob.glob(os.path.join(yaml_dir, "*.yaml")):
+        for line in open(f):
+            m = re.search(r"!function\s+(\S+)", line)
+            if m:
+                refs.append(m.group(1))
+    assert refs, "expected !function refs in lmms yamls"
+    for ref in refs:
+        *mod_parts, fn = ref.split(".")
+        mod = ".".join(mod_parts)
+        path = os.path.join(yaml_dir, mod + ".py")
+        assert os.path.exists(path), f"{ref}: no {path} next to the yamls"
+        spec = importlib.util.spec_from_file_location(mod, path)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        assert callable(getattr(module, fn)), ref
 
 
 def test_json_path_flat_and_nested():

@@ -135,6 +135,41 @@ def test_engine_matches_unpadded_forward(checkpoint):
     assert produced == out
 
 
+def test_decode_correct_when_cache_clamped_to_prompt_bucket(checkpoint):
+    """Fill-cursor regression: with cache_len clamped to the PADDED prompt
+    bucket (max_cache_len == s_pad), decode must still write KV rows — the
+    cursor has to rewind from s_pad to the real prompt length, else every
+    write scatters out of range with mode="drop" and generated tokens
+    silently stop attending to each other."""
+    path, *_ = checkpoint
+
+    from vila_tpu.inference.generate import PROMPT_BUCKETS, _bucket
+
+    engine = vila_tpu.load(path)
+    text = "the quick brown fox jumps over the lazy dog " * 4  # ~180 toks
+    inputs = engine.prepare_inputs([text])
+    prompt_len = int(inputs["input_ids"].shape[0])
+    s_pad = _bucket(prompt_len, PROMPT_BUCKETS)
+    assert s_pad - prompt_len > 5, (prompt_len, s_pad)  # real padding gap
+    # clamp the cache to exactly the padded bucket: decode capacity exists
+    # only if the cursor rewinds to prompt_len
+    engine.max_cache_len = s_pad
+
+    out = engine.generate_ids(inputs, GenerationConfig(max_new_tokens=40))
+    assert len(out) >= 1
+
+    from vila_tpu.models import qwen2
+
+    cur = list(inputs["input_ids"])
+    for i, tok in enumerate(out):
+        logits, _ = qwen2.forward(
+            engine.params["llm"], engine.cfg.llm,
+            input_ids=jnp.asarray([cur], jnp.int32),
+        )
+        assert int(jnp.argmax(logits[0, -1])) == tok, i
+        cur.append(tok)
+
+
 def test_save_load_roundtrip(checkpoint, tmp_path):
     path, *_ = checkpoint
     engine = vila_tpu.load(path)

@@ -80,9 +80,12 @@ def test_stop_ids_and_multichunk_prefill(llm):
         params, cfg, mesh, max_cache_len=1024, prefill_chunk=128
     )
     full = eng.generate(embeds, max_new_tokens=8)
-    # stopping at the second token truncates the output there
+    # stopping at the second token truncates the output there; stop ids are
+    # never emitted — if the first token IS the stop id, output is empty
+    # (GenerationEngine.stream_ids semantics)
     stopped = eng.generate(embeds, max_new_tokens=8, stop_ids=[full[1]])
-    assert stopped == full[:1]
+    assert stopped == ([] if full[1] == full[0] else full[:1])
+    assert eng.generate(embeds, max_new_tokens=8, stop_ids=[full[0]]) == []
 
 
 def test_decode_stops_at_cache_capacity(llm):

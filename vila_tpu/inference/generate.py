@@ -58,7 +58,13 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-PROMPT_BUCKETS = (128, 256, 384, 512, 768, 1024, 2048, 4096, 8192, 16384, 32768)
+# Fine steps through the single-image band (~260-400 tokens: 256 media
+# tokens + text): prefill time scales ~linearly with the padded length, and
+# TTFT at the 8B scale is ~0.115 ms per padded token — a 384 pad on a
+# 290-token prompt costs ~11 ms of the <50 ms budget. MXU row granularity
+# is fine (8 sublanes), so 32-multiples lose nothing to tiling.
+PROMPT_BUCKETS = (128, 192, 256, 288, 320, 384, 448, 512, 640, 768, 1024,
+                  1536, 2048, 3072, 4096, 8192, 16384, 32768)
 TILE_BUCKETS = (1, 2, 4, 8, 12, 16, 24, 32, 48, 64, 96, 128)
 
 
@@ -255,6 +261,13 @@ class GenerationEngine:
                 cache=cache,
                 gather_position=prompt_last,
             )
+            # Rewind the fill cursor from the PADDED prompt length to the
+            # real one: pad rows are invalid, and a cursor left at s_pad
+            # exhausts cache rows (s_pad - prompt_len) steps early — decode
+            # writes past max_len scatter with mode="drop" (silent KV loss)
+            # while the positions-based capacity checks still pass.
+            cache = dict(cache)
+            cache["fill"] = prompt_last[..., 0] + 1
             return logits[:, 0], cache
 
         return prefill
@@ -316,6 +329,11 @@ class GenerationEngine:
                 cache=cache,
                 gather_position=prompt_last,
             )
+            # rewind the fill cursor from s_pad to the real prompt length
+            # (see _prefill): keeps decode writes contiguous with the real
+            # rows so capacity checks based on `positions` are exact
+            cache = dict(cache)
+            cache["fill"] = prompt_last[0] + 1
             rng = jax.random.PRNGKey(seed)
             rng, sub = jax.random.split(rng)
             tok = sample_token(
@@ -703,8 +721,15 @@ class GenerationEngine:
 
         positions = jnp.asarray([prompt_len], jnp.int32)
         steps_left = gc.max_new_tokens - 1
+        pos = prompt_len
         while steps_left > 0:
-            steps = min(self.decode_chunk, steps_left)
+            # bound each scan by remaining cache capacity too: every step
+            # writes one KV row, and writes past cache_len scatter with
+            # mode="drop" — tokens decoded after that would silently lose
+            # attention to their predecessors
+            steps = min(self.decode_chunk, steps_left, cache_len - pos)
+            if steps <= 0:
+                return
             toks, tok, cache, positions, rng = self._decode(
                 self.params, tok, cache, positions, rng,
                 steps, gc.do_sample, gc.temperature, gc.top_p, gc.top_k,
@@ -720,8 +745,7 @@ class GenerationEngine:
             if accepted:
                 yield accepted
             steps_left -= steps
-            if int(np.asarray(positions)[0]) >= cache["k"].shape[2]:
-                return
+            pos += steps
 
     def _ps3_top_down_prompt(self, inputs: Dict[str, Any]) -> jnp.ndarray:
         """PS3 pass 1: encode low-res only, run the LLM over the user
@@ -808,14 +832,24 @@ class GenerationEngine:
     ):
         """Streaming variant: yields text deltas (server.py:251-280 parity)."""
         inputs = self.prepare_inputs(prompt)
-        produced: List[int] = []
-        prev = ""
-        for chunk in self.stream_ids(inputs, generation_config):
-            produced.extend(chunk)
-            text = self.tokenizer.decode(produced, skip_special_tokens=True)
-            if len(text) > len(prev):
-                yield text[len(prev):]
-                prev = text
+        yield from stream_text_deltas(
+            self.tokenizer, self.stream_ids(inputs, generation_config)
+        )
+
+
+def stream_text_deltas(tokenizer, id_chunks):
+    """Turn a stream of token-id chunks into text deltas: re-decode the
+    full produced sequence each chunk (token boundaries don't align with
+    character boundaries) and emit only the suffix. Shared by the serial
+    engine and the continuous batcher."""
+    produced: List[int] = []
+    prev = ""
+    for chunk in id_chunks:
+        produced.extend(chunk)
+        text = tokenizer.decode(produced, skip_special_tokens=True)
+        if len(text) > len(prev):
+            yield text[len(prev):]
+            prev = text
 
 
 # Width of the top-k slice used by filtered sampling. top-p / top-k are

@@ -182,9 +182,11 @@ class LongContextEngine:
         """Greedy generation: chunked sharded prefill + sharded decode."""
         logits, cache, s = self.prefill(embeds)
         first = int(jnp.argmax(logits[0]))
-        out = [first]
         stop = set(stop_ids)
-        if first in stop or max_new_tokens <= 1:
+        if first in stop:
+            return []
+        out = [first]
+        if max_new_tokens <= 1:
             return out[: max_new_tokens]
         tok = np.asarray([first], np.int32)
         positions = np.asarray([s], np.int32)

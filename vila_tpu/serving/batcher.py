@@ -257,6 +257,12 @@ class ContinuousBatcher:
                 )
                 if a <= prompt_len - 1 < a + chunk:
                     first_logits = lg  # chunk holding the last real token
+            # chunked fill advanced the cursor by the PADDED length; rewind
+            # to the real prompt length (pad rows are invalid — leaving the
+            # cursor at s_pad exhausts cache rows early and decode writes
+            # past max_len silently drop). eng._prefill rewinds internally.
+            cache1 = dict(cache1)
+            cache1["fill"] = cache1["fill"] - (s_pad - prompt_len)
         else:
             cache1 = qwen2.init_cache(
                 self.cfg.llm, batch=1, max_len=self.max_len
@@ -422,11 +428,8 @@ class ContinuousBatcher:
         return self.tokenizer.decode(ids, skip_special_tokens=True).strip()
 
     def generate_content_stream(self, prompt, generation_config=None):
-        produced: List[int] = []
-        prev = ""
-        for chunk in self.stream_ids(prompt, generation_config):
-            produced.extend(chunk)
-            text = self.tokenizer.decode(produced, skip_special_tokens=True)
-            if len(text) > len(prev):
-                yield text[len(prev):]
-                prev = text
+        from vila_tpu.inference.generate import stream_text_deltas
+
+        yield from stream_text_deltas(
+            self.tokenizer, self.stream_ids(prompt, generation_config)
+        )
