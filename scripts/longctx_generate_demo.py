@@ -64,7 +64,16 @@ def main():
     ).astype(np.float32)
 
     t0 = time.time()
-    out = eng.generate(jnp.asarray(embeds), max_new_tokens=n_decode)
+
+    def progress(done, total):
+        print(
+            f"[longctx] chunk {done}/{total} t={time.time() - t0:.0f}s",
+            file=sys.stderr, flush=True,
+        )
+
+    out = eng.generate(
+        jnp.asarray(embeds), max_new_tokens=n_decode, progress=progress
+    )
     dt = time.time() - t0
 
     ok = len(out) == n_decode and all(0 <= t < cfg.vocab_size for t in out)
@@ -79,9 +88,10 @@ def main():
         "first_tokens": out[:8],
     }
     print(json.dumps(result))
+    out_name = sys.argv[3] if len(sys.argv) > 3 else "LONGCTX_r03.json"
     with open(
         os.path.join(os.path.dirname(os.path.dirname(__file__)) or ".",
-                     "LONGCTX_r03.json"), "w"
+                     out_name), "w"
     ) as f:
         json.dump(result, f, indent=2)
 

@@ -170,6 +170,25 @@ def test_decode_correct_when_cache_clamped_to_prompt_bucket(checkpoint):
         cur.append(tok)
 
 
+def test_load_vision_int8_generates(checkpoint):
+    """TinyChat vision recipe: load(vision_int8=True) quantizes the SigLIP
+    tower to W8A8 and the engine still generates (image path)."""
+    path, *_ = checkpoint
+    from PIL import Image as PILImage
+
+    engine = vila_tpu.load(path, vision_int8=True)
+    lp = engine.params["vision_tower"]["layers"]
+    assert "w8" in lp["q_proj"] and lp["q_proj"]["w8"].dtype == jnp.int8
+
+    rng = np.random.default_rng(3)
+    img = PILImage.fromarray(rng.integers(0, 255, (50, 50, 3), np.uint8))
+    out = engine.generate_ids(
+        engine.prepare_inputs([vila_tpu.Image(img), "hi"]),
+        GenerationConfig(max_new_tokens=4),
+    )
+    assert isinstance(out, list)
+
+
 def test_save_load_roundtrip(checkpoint, tmp_path):
     path, *_ = checkpoint
     engine = vila_tpu.load(path)

@@ -93,3 +93,63 @@ def test_bf16_grads_finite():
     for x in g:
         assert x.dtype == jnp.bfloat16
         assert bool(jnp.isfinite(x.astype(jnp.float32)).all())
+
+
+# ---------------------------------------------------------------------------
+# blocked (memory-bounded online-softmax) attention
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("block", [7, 16, 64])
+@pytest.mark.parametrize("with_seg", [False, True])
+def test_blocked_matches_xla(block, with_seg):
+    from vila_tpu.ops.attention import attention_blocked
+
+    rng = np.random.default_rng(0)
+    b, sq, skv, hq, hkv, d = 2, 9, 33, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, sq, hq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, skv, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, skv, hkv, d)).astype(np.float32))
+    qp = jnp.asarray(rng.integers(0, skv, (b, sq)).astype(np.int32))
+    kp = jnp.broadcast_to(jnp.arange(skv, dtype=jnp.int32), (b, skv))
+    kwargs = dict(causal=True, q_positions=qp, kv_positions=kp,
+                  kv_valid_len=jnp.asarray([skv, skv - 5], jnp.int32))
+    if with_seg:
+        kwargs["q_segment_ids"] = jnp.asarray(
+            rng.integers(0, 2, (b, sq)).astype(np.int32))
+        kwargs["kv_segment_ids"] = jnp.asarray(
+            rng.integers(0, 2, (b, skv)).astype(np.int32))
+    ref = np.asarray(attention_xla(q, k, v, **kwargs))
+    got = np.asarray(attention_blocked(q, k, v, block=block, **kwargs))
+    # rows with zero attendable keys are undefined (xla emits a uniform
+    # average of masked values, blocked emits zeros) — compare only rows
+    # that can attend somewhere
+    m = np.asarray(qp)[:, :, None] >= np.asarray(kp)[:, None, :]
+    m &= np.arange(skv)[None, None, :] < np.asarray(
+        kwargs["kv_valid_len"])[:, None, None]
+    if with_seg:
+        m &= (np.asarray(kwargs["q_segment_ids"])[:, :, None]
+              == np.asarray(kwargs["kv_segment_ids"])[:, None, :])
+    attendable = m.any(-1)  # (b, sq)
+    np.testing.assert_allclose(got[attendable], ref[attendable],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got[~attendable], 0.0, atol=1e-6)
+
+
+def test_blocked_fully_masked_rows_are_zero():
+    """A query with no attendable key must produce zeros, not an average of
+    masked values (the finite _NEG_INF sentinel makes this a real hazard)."""
+    from vila_tpu.ops.attention import attention_blocked
+
+    rng = np.random.default_rng(1)
+    b, sq, skv, h, d = 1, 4, 16, 2, 8
+    q = jnp.asarray(rng.normal(size=(b, sq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, skv, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, skv, h, d)).astype(np.float32))
+    # q positions BEFORE every kv position -> causality masks everything
+    qp = jnp.zeros((b, sq), jnp.int32)
+    kp = jnp.broadcast_to(
+        jnp.arange(1, skv + 1, dtype=jnp.int32), (b, skv))
+    out = attention_blocked(q, k, v, causal=True, q_positions=qp,
+                            kv_positions=kp, block=8)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)

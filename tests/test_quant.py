@@ -250,3 +250,58 @@ def test_padded_o_batch_path(monkeypatch):
     b, _ = qwen2.forward(q_plain, cfg, input_ids=ids, cache=cache_b)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-2, rtol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# W8A8 (TinyChat vision recipe: int8 MXU dots, per-channel weight scales)
+# ---------------------------------------------------------------------------
+
+
+def test_w8a8_linear_accuracy():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(7, 96)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(96, 64)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(64,)).astype(np.float32) * 0.01)
+    slot = quant.quantize_w8a8(w)
+    slot["bias"] = b
+    got = np.asarray(quant.w8a8_linear(x, slot, jnp.float32))
+    ref = np.asarray(x @ w + b)
+    # int8 x int8: ~1% relative error on the dot outputs
+    denom = np.maximum(np.abs(ref).max(), 1e-6)
+    assert np.abs(got - ref).max() / denom < 0.03
+    cos = (got * ref).sum() / (
+        np.linalg.norm(got) * np.linalg.norm(ref) + 1e-9
+    )
+    assert cos > 0.999
+
+
+def test_w8a8_stacked_slot_shapes():
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(3, 32, 48)).astype(np.float32))
+    slot = quant.quantize_w8a8(w)
+    assert slot["w8"].shape == (3, 32, 48) and slot["w8"].dtype == jnp.int8
+    assert slot["w_scale"].shape == (3, 48)
+
+
+def test_quantize_siglip_w8a8_features_close():
+    from vila_tpu.models import siglip
+
+    cfg = siglip.SigLIPConfig(
+        hidden_size=48, intermediate_size=96, num_hidden_layers=3,
+        num_attention_heads=4, image_size=56, patch_size=14,
+        dtype="float32",
+    )
+    params = siglip.init_params(jax.random.PRNGKey(0), cfg)
+    pixels = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 56, 56, 3)).astype(
+            np.float32
+        )
+    )
+    ref = np.asarray(siglip.forward(params, cfg, pixels))
+    q = siglip.quantize_siglip_w8a8(params)
+    got = np.asarray(siglip.forward(q, cfg, pixels))
+    assert got.shape == ref.shape
+    cos = (got * ref).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1) + 1e-9
+    )
+    assert float(cos.min()) > 0.995, float(cos.min())

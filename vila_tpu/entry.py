@@ -191,14 +191,30 @@ def load(
     model_path: str,
     devices=None,
     dtype: Optional[str] = None,
+    vision_int8: bool = False,
     **kwargs,
 ):
-    """Load a checkpoint into a ready GenerationEngine (llava/entry.py:29)."""
+    """Load a checkpoint into a ready GenerationEngine (llava/entry.py:29).
+
+    vision_int8: quantize the SigLIP tower to W8A8 (TinyChat's vision
+    deployment recipe, README.md:87-88) — int8 MXU dots halve vision-encode
+    time on v5e at negligible feature error."""
     from vila_tpu.inference.generate import GenerationEngine
 
     auto_set_conversation_mode(model_path)
     cfg = build_config(model_path, dtype=dtype)
     params = load_params(model_path, cfg)
+    if vision_int8:
+        from vila_tpu.models import siglip
+
+        if cfg.vision_tower_type not in ("siglip",):
+            raise ValueError(
+                f"vision_int8 supports the siglip tower, not "
+                f"{cfg.vision_tower_type}"
+            )
+        params["vision_tower"] = siglip.quantize_siglip_w8a8(
+            params["vision_tower"]
+        )
     tokenizer = load_tokenizer(model_path)
     return GenerationEngine(params, cfg, tokenizer, **kwargs)
 

@@ -85,9 +85,72 @@ class LongContextEngine:
                 out_shardings=self._cache_shardings,
             )()
 
+    def _make_sharded_attend(self):
+        """Chunk-prefill attention over the seq-sharded cache: shard_map
+        runs memory-bounded local attention per device (q replicated, KV
+        local shard) and merges across shards with one LSE-weighted psum.
+
+        Design note: leaving this to GSPMD over `attention_xla` partitions
+        the softmax but still materializes each device's (Sq, Skv/n) score
+        slab — at 1M-token context that is gigabytes per layer. Local
+        online-softmax + LSE merge keeps peak memory at (Sq, block) per
+        device and the collective payload at one (Sq, Hq, D) tile, which
+        rides ICI. Same recurrence as the training ring
+        (parallel/ring_attention.py) minus the rotation — decode-side a
+        one-shot psum beats P2P ring for a single chunk."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from vila_tpu.ops.attention import _NEG_INF, attention_blocked
+
+        ax = self.seq_axes
+        mesh = self.mesh
+
+        def local_fn(q, k, v, qp, kvp, qs, kvs):
+            acc, l, m = attention_blocked(
+                q, k, v,
+                causal=True,
+                q_positions=qp,
+                kv_positions=kvp,
+                q_segment_ids=qs,
+                kv_segment_ids=kvs,
+                return_stats=True,
+            )
+            m_g = jax.lax.pmax(m, ax)  # (B, Hq, Sq)
+            w = jnp.exp(jnp.where(m <= _NEG_INF * 0.5, _NEG_INF, m - m_g))
+            num = jax.lax.psum(
+                acc * w.transpose(0, 2, 1)[..., None], ax
+            )
+            den = jax.lax.psum(l * w, ax)
+            den = jnp.maximum(den, 1e-30).transpose(0, 2, 1)[..., None]
+            return (num / den).astype(q.dtype)
+
+        sharded = shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(
+                P(), P(None, ax), P(None, ax),
+                P(), P(None, ax), P(), P(None, ax),
+            ),
+            out_specs=P(),
+            check_rep=False,
+        )
+
+        def attend(q, k, v, *, causal=True, q_positions=None,
+                   kv_positions=None, q_segment_ids=None,
+                   kv_segment_ids=None, **_):
+            assert causal and q_positions is not None
+            return sharded(
+                q, k, v, q_positions, kv_positions,
+                q_segment_ids, kv_segment_ids,
+            )
+
+        return attend
+
     @functools.cached_property
     def _prefill_chunk_fn(self):
         cfg = self.cfg
+        attend = self._make_sharded_attend()
 
         def step(params, embeds, token_valid, last, cache):
             logits, cache = qwen2.forward(
@@ -96,7 +159,7 @@ class LongContextEngine:
                 token_valid=token_valid,
                 cache=cache,
                 gather_position=last,  # last REAL token (tail chunk is padded)
-                attn_impl="xla",  # GSPMD-partitionable over the seq axis
+                attn_impl=attend,  # sharded memory-bounded attention
             )
             return logits[:, 0], cache
 
@@ -144,16 +207,18 @@ class LongContextEngine:
             ),
         )
 
-    def prefill(self, embeds: jnp.ndarray, cache=None):
+    def prefill(self, embeds: jnp.ndarray, cache=None, progress=None):
         """Stream (1, S, D) prompt embeddings through in chunks. S need not
         be chunk-aligned; the tail chunk is right-padded. Returns
-        (last_logits, cache, prompt_len)."""
+        (last_logits, cache, prompt_len). `progress(done, total)` is called
+        after each chunk (multi-hour 1M-ctx prefills need a heartbeat)."""
         s = embeds.shape[1]
         c = self.prefill_chunk
         if cache is None:
             cache = self.init_cache()
         assert s <= self.max_cache_len, (s, self.max_cache_len)
         logits = None
+        n_chunks = (s + c - 1) // c
         with self.mesh:
             for start in range(0, s, c):
                 chunk = np.asarray(embeds[:, start : start + c])
@@ -170,6 +235,9 @@ class LongContextEngine:
                     # fill cursor advanced by the padded chunk; rewind
                     cache = dict(cache)
                     cache["fill"] = cache["fill"] - (c - n)
+                if progress is not None:
+                    jax.block_until_ready(logits)
+                    progress(start // c + 1, n_chunks)
         return logits, cache, s
 
     def generate(
@@ -178,9 +246,10 @@ class LongContextEngine:
         max_new_tokens: int,
         stop_ids: Sequence[int] = (),
         decode_chunk: int = 8,
+        progress=None,
     ) -> List[int]:
         """Greedy generation: chunked sharded prefill + sharded decode."""
-        logits, cache, s = self.prefill(embeds)
+        logits, cache, s = self.prefill(embeds, progress=progress)
         first = int(jnp.argmax(logits[0]))
         stop = set(stop_ids)
         if first in stop:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import functools
 import os
 from typing import Any, Dict, Optional, Tuple
 
@@ -390,14 +391,22 @@ def forward(
             cv = cv.reshape(
                 b, max_len, cfg.num_key_value_heads, cfg.head_dim_
             )
-            attn = multi_head_attention(
+            # attn_impl may be a CALLABLE with multi_head_attention's
+            # signature (minus impl) — e.g. the long-context engine's
+            # shard_map local-attention + LSE-merge over a seq-sharded
+            # cache (inference/long_context.py)
+            attend_fn = (
+                attn_impl
+                if callable(attn_impl)
+                else functools.partial(multi_head_attention, impl=attn_impl)
+            )
+            attn = attend_fn(
                 q, ck.astype(dtype), cv.astype(dtype),
                 causal=True,
                 q_positions=q_slots,
                 kv_positions=kv_slots,
                 q_segment_ids=q_seg,
                 kv_segment_ids=kv_seg,
-                impl=attn_impl,
             )
         elif sp is not None and sp.active:
             from vila_tpu.parallel.sp import sp_attention

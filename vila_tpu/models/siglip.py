@@ -123,10 +123,36 @@ def patchify(pixel_values: jnp.ndarray, patch: int) -> jnp.ndarray:
 
 
 def _linear(x, p, dtype):
+    if "w8" in p:  # W8A8 slot (quantize_siglip_w8a8)
+        from vila_tpu.ops.quant import w8a8_linear
+
+        return w8a8_linear(x, p, dtype)
     y = jnp.dot(x, p["kernel"].astype(dtype))
     if "bias" in p:
         y = y + p["bias"].astype(dtype)
     return y
+
+
+def quantize_siglip_w8a8(params: Params) -> Params:
+    """Quantize the encoder's linear layers to W8A8 (int8 MXU dots) —
+    TinyChat's vision-tower deployment recipe (README.md:87-88: "W4A16 LLM
+    + W8A8 vision"). Norms, the patch GEMM (couples with the normalization
+    constants), and position embeddings stay in the compute dtype; each
+    stacked (L, din, dout) projection becomes {w8, w_scale[, bias]} and
+    `_linear` dispatches on the slot contents."""
+    from vila_tpu.ops.quant import quantize_w8a8
+
+    src = params["layers"]
+    layers: Params = {
+        "layer_norm1": src["layer_norm1"],
+        "layer_norm2": src["layer_norm2"],
+    }
+    for name in ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"):
+        slot = quantize_w8a8(src[name]["kernel"])
+        if "bias" in src[name]:
+            slot["bias"] = src[name]["bias"]
+        layers[name] = slot
+    return {**params, "layers": layers}
 
 
 def resize_position_embedding(pos_embed: jnp.ndarray, num_new: int) -> jnp.ndarray:

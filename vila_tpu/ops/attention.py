@@ -115,6 +115,131 @@ def attention_xla(
     return out.reshape(b, sq, hq, d).astype(q.dtype)
 
 
+def attention_blocked(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    q_positions: Optional[jnp.ndarray] = None,
+    kv_positions: Optional[jnp.ndarray] = None,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    kv_valid_len: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block: int = 1024,
+    return_stats: bool = False,
+) -> jnp.ndarray:
+    """Memory-bounded attention: online-softmax `lax.scan` over KV blocks
+    (flash-attention recurrence in plain XLA ops).
+
+    `attention_xla` materializes the full (B, H, Sq, Skv) score matrix —
+    at long context that is the memory wall (a 4k-chunk prefill against a
+    1M-token cache is 16 GB of scores per head). This path keeps a running
+    (max, sum, acc) per query and touches one (B, blk) KV block at a time:
+    peak intermediate = B*H*Sq*blk floats, independent of Skv. Same math,
+    f32 statistics; exact vs `attention_xla` up to f32 summation order.
+
+    Used by the long-context engine's chunked prefill (CPU mesh + TPU) and
+    any caller passing impl="blocked"."""
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    groups = hq // hkv
+    if scale is None:
+        scale = d**-0.5
+
+    if q_positions is None:
+        q_positions = jnp.broadcast_to(jnp.arange(sq, dtype=jnp.int32), (b, sq))
+    if kv_positions is None:
+        kv_positions = jnp.broadcast_to(
+            jnp.arange(skv, dtype=jnp.int32), (b, skv)
+        )
+
+    blk = min(block, skv)
+    nb = (skv + blk - 1) // blk
+    pad = nb * blk - skv
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        kv_positions = jnp.pad(kv_positions, ((0, 0), (0, pad)))
+        if kv_segment_ids is not None:
+            kv_segment_ids = jnp.pad(kv_segment_ids, ((0, 0), (0, pad)))
+        # the pad tail must be masked even when no other mask applies
+        if kv_valid_len is None:
+            kv_valid_len = jnp.full((b,), skv, jnp.int32)
+
+    qf = (q.astype(jnp.float32) * scale).reshape(b, sq, hkv, groups, d)
+    # scan carries: running max m, running sum l, accumulator acc
+    m0 = jnp.full((b, hkv, groups, sq), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, hkv, groups, sq), jnp.float32)
+    acc0 = jnp.zeros((b, sq, hkv, groups, d), jnp.float32)
+
+    # (nb, B, blk, ...) leading scan axis
+    kb = k.reshape(b, nb, blk, hkv, d).swapaxes(0, 1)
+    vb = v.reshape(b, nb, blk, hkv, d).swapaxes(0, 1)
+    pb = kv_positions.reshape(b, nb, blk).swapaxes(0, 1)
+    sb = (
+        kv_segment_ids.reshape(b, nb, blk).swapaxes(0, 1)
+        if kv_segment_ids is not None
+        else jnp.zeros((nb, b, 0), jnp.int32)
+    )
+    ib = (jnp.arange(nb)[:, None] * blk + jnp.arange(blk)[None, :]).astype(
+        jnp.int32
+    )  # (nb, blk) global kv slot index, for kv_valid_len
+
+    def body(carry, xs):
+        m, l, acc = carry
+        k_j, v_j, p_j, s_j, i_j = xs
+        scores = jnp.einsum(
+            "bqhgd,bkhd->bhgqk", qf, k_j.astype(jnp.float32),
+        )  # (B, Hkv, G, Sq, blk) f32
+        masks = []
+        if causal:
+            masks.append(q_positions[:, :, None] >= p_j[:, None, :])
+        if q_segment_ids is not None and kv_segment_ids is not None:
+            masks.append(
+                q_segment_ids[:, :, None] == s_j[:, None, :]
+            )
+        if kv_valid_len is not None:
+            masks.append(
+                (i_j[None, None, :] < kv_valid_len[:, None, None])
+                & jnp.ones((b, sq, 1), bool)
+            )
+        if masks:
+            mask = masks[0]
+            for mm in masks[1:]:
+                mask = jnp.logical_and(mask, mm)
+            scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
+        m_j = jnp.max(scores, axis=-1)
+        m_new = jnp.maximum(m, m_j)
+        # _NEG_INF is finite: for rows masked in every block so far,
+        # m == m_new == _NEG_INF and naive exp(0) would count masked
+        # entries with weight 1 — zero them explicitly
+        alpha = jnp.exp(jnp.where(m <= _NEG_INF * 0.5, _NEG_INF, m - m_new))
+        p = jnp.where(
+            scores <= _NEG_INF * 0.5,
+            0.0,
+            jnp.exp(scores - m_new[..., None]),
+        )
+        l_new = l * alpha + p.sum(-1)
+        acc_new = acc * alpha.transpose(0, 3, 1, 2)[..., None] + jnp.einsum(
+            "bhgqk,bkhd->bqhgd", p, v_j.astype(jnp.float32),
+        )
+        return (m_new, l_new, acc_new), None
+
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), (kb, vb, pb, sb, ib))
+    if return_stats:
+        # unnormalized pieces for cross-shard LSE merge (sharded KV):
+        # acc (B, Sq, Hq, D) f32, l/m (B, Hq, Sq) f32
+        return (
+            acc.reshape(b, sq, hq, d),
+            l.reshape(b, hq, sq),
+            m.reshape(b, hq, sq),
+        )
+    l = jnp.maximum(l, 1e-30).transpose(0, 3, 1, 2)[..., None]
+    return (acc / l).reshape(b, sq, hq, d).astype(q.dtype)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -131,11 +256,23 @@ def multi_head_attention(
 ) -> jnp.ndarray:
     """Attention entry point with implementation dispatch.
 
-    impl: "auto" | "xla" | "pallas".  "auto" picks the Pallas flash kernel on
-    TPU for shapes it supports, else the XLA path.
+    impl: "auto" | "xla" | "pallas" | "blocked".  "auto" picks the Pallas
+    flash kernel on TPU for shapes it supports, else the XLA path.
+    "blocked" is the memory-bounded online-softmax path (long context).
     """
     if impl == "auto":
         impl = "pallas" if _pallas_supported(q, k, v, q_positions) else "xla"
+    if impl == "blocked":
+        return attention_blocked(
+            q, k, v,
+            causal=causal,
+            q_positions=q_positions,
+            kv_positions=kv_positions,
+            q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            kv_valid_len=kv_valid_len,
+            scale=scale,
+        )
     if impl == "pallas":
         from vila_tpu.ops import flash_attention as fa
 

@@ -164,6 +164,43 @@ def quantize_w8(w: jnp.ndarray, group_size: int = DEFAULT_GROUP) -> Dict[str, An
     }
 
 
+def quantize_w8a8(kernel: jnp.ndarray) -> Dict[str, Any]:
+    """Per-output-channel symmetric int8 weights for the W8A8 path
+    (TinyChat runs the VISION tower W8A8 — README.md:87-88 measurement
+    conditions; the LLM stays W4A16).
+
+    Per-channel (not grouped) scales so the whole din contraction
+    accumulates in one s8xs8->s32 MXU dot — grouped scales would need a
+    per-group int32 split. kernel: (..., din, dout) -> {w8 int8 same
+    shape, w_scale f32 (..., dout)}."""
+    w32 = jnp.asarray(kernel, jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return {"w8": q, "w_scale": scale[..., 0, :]}
+
+
+def w8a8_linear(x: jnp.ndarray, p: Dict[str, Any], dtype) -> jnp.ndarray:
+    """W8A8 linear: dynamic per-token int8 activations x per-channel int8
+    weights on the MXU (s8xs8->s32 runs at 2x bf16 throughput on v5e).
+
+    x: (..., din) any float dtype; p: {w8 (din, dout), w_scale (dout,)
+    [, bias (dout,)]}. Output in `dtype`."""
+    xf = x.astype(jnp.float32)
+    a = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
+    xq = jnp.clip(jnp.round(xf * (127.0 / a)), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, p["w8"],
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (a * (1.0 / 127.0)) * p["w_scale"]
+    y = y.astype(dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
+
+
 def pad_o_heads(
     w: jnp.ndarray, num_q_heads: int, num_kv_heads: int, head_dim: int
 ) -> jnp.ndarray:
