@@ -352,15 +352,21 @@ def main():
         # warm both host and device paths
         for _ in range(2):
             next(iter(engine.stream_ids(engine.prepare_inputs(prompt), gc)))
-        # min over reps: per-request latency floor (average is dominated
-        # by host scheduling noise when the bench host is contended)
+        # min over reps, INTERLEAVED with upload-RTT re-measurement: the
+        # dev tunnel's latency drifts over tens of seconds, so subtracting
+        # an upload RTT measured minutes earlier misattributes jitter to
+        # the engine. Alternating the two probes samples the same tunnel
+        # conditions; both mins come from the same window.
         engine_ttft_ms = float("inf")
-        for _ in range(7):
+        for _ in range(12):
             t0 = time.time()
             next(iter(engine.stream_ids(engine.prepare_inputs(prompt), gc)))
             engine_ttft_ms = min(
                 engine_ttft_ms, (time.time() - t0) * 1000
             )
+            t0 = time.time()
+            int(_upload(_payload0))
+            upload_rtt_ms = min(upload_rtt_ms, (time.time() - t0) * 1000)
     except Exception as e:  # engine bench is best-effort on the dev tunnel
         engine_ttft_ms = f"failed: {type(e).__name__}: {e}"
 

@@ -187,7 +187,9 @@ def attention_blocked(
         jnp.int32
     )  # (nb, blk) global kv slot index, for kv_valid_len
 
-    def body(carry, xs):
+    q_pos_max = jnp.max(q_positions)
+
+    def compute_block(carry, xs):
         m, l, acc = carry
         k_j, v_j, p_j, s_j, i_j = xs
         scores = jnp.einsum(
@@ -226,6 +228,26 @@ def attention_blocked(
             "bhgqk,bkhd->bqhgd", p, v_j.astype(jnp.float32),
         )
         return (m_new, l_new, acc_new), None
+
+    if causal:
+        # Causal reachability skip: a block whose minimum kv position
+        # exceeds every query position is fully masked — skip its compute
+        # entirely via lax.cond. Chunked prefill into a pre-allocated
+        # cache attends a (max_len)-row buffer that is mostly empty early
+        # on; this turns O(chunks * max_len) total work into the
+        # triangular O(fill) it should be. (On TPU both cond branches may
+        # be hoisted for vector code; the win is on CPU/long-context.)
+        def body(carry, xs):
+            p_j = xs[2]
+            return jax.lax.cond(
+                jnp.min(p_j) <= q_pos_max,
+                lambda c: compute_block(c, xs)[0],
+                lambda c: c,
+                carry,
+            ), None
+    else:
+        def body(carry, xs):
+            return compute_block(carry, xs)
 
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), (kb, vb, pb, sb, ib))
     if return_stats:
