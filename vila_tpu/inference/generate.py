@@ -267,7 +267,7 @@ class GenerationEngine:
             # writes past max_len scatter with mode="drop" (silent KV loss)
             # while the positions-based capacity checks still pass.
             cache = dict(cache)
-            cache["fill"] = prompt_last[..., 0] + 1
+            cache["fill"] = prompt_last[0] + 1
             return logits[:, 0], cache
 
         return prefill

@@ -33,15 +33,21 @@ def _build_mask(
     kv_segment_ids: Optional[jnp.ndarray],
     kv_valid_len: Optional[jnp.ndarray],  # (B,) number of valid kv slots
     skv: int,
+    kv_index: Optional[jnp.ndarray] = None,  # (Skv,) global slot index
 ) -> Optional[jnp.ndarray]:
-    """Boolean (B, Sq, Skv) mask; True = attend."""
+    """Boolean mask broadcastable to (B, Sq, Skv); True = attend.
+
+    `kv_index` overrides the default arange slot indexing — block callers
+    (attention_blocked) pass each block's global indices."""
     masks = []
     if causal:
         masks.append(q_positions[:, :, None] >= kv_positions[:, None, :])
     if q_segment_ids is not None and kv_segment_ids is not None:
         masks.append(q_segment_ids[:, :, None] == kv_segment_ids[:, None, :])
     if kv_valid_len is not None:
-        kv_idx = jnp.arange(skv, dtype=jnp.int32)
+        kv_idx = (
+            jnp.arange(skv, dtype=jnp.int32) if kv_index is None else kv_index
+        )
         masks.append(kv_idx[None, None, :] < kv_valid_len[:, None, None])
     if not masks:
         return None
@@ -195,22 +201,13 @@ def attention_blocked(
         scores = jnp.einsum(
             "bqhgd,bkhd->bhgqk", qf, k_j.astype(jnp.float32),
         )  # (B, Hkv, G, Sq, blk) f32
-        masks = []
-        if causal:
-            masks.append(q_positions[:, :, None] >= p_j[:, None, :])
-        if q_segment_ids is not None and kv_segment_ids is not None:
-            masks.append(
-                q_segment_ids[:, :, None] == s_j[:, None, :]
-            )
-        if kv_valid_len is not None:
-            masks.append(
-                (i_j[None, None, :] < kv_valid_len[:, None, None])
-                & jnp.ones((b, sq, 1), bool)
-            )
-        if masks:
-            mask = masks[0]
-            for mm in masks[1:]:
-                mask = jnp.logical_and(mask, mm)
+        mask = _build_mask(
+            q_positions, p_j, causal,
+            q_segment_ids,
+            s_j if kv_segment_ids is not None else None,
+            kv_valid_len, blk, kv_index=i_j,
+        )
+        if mask is not None:
             scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
         m_j = jnp.max(scores, axis=-1)
         m_new = jnp.maximum(m, m_j)
