@@ -101,3 +101,43 @@ def test_delta_roundtrip():
     back = apply_delta(base, delta)
     np.testing.assert_allclose(back["a"], target["a"])
     np.testing.assert_allclose(back["b"]["c"], target["b"]["c"])
+
+
+def test_consolidate_checkpoint_roundtrip(tmp_path):
+    """Trainer-run orbax state -> deployable component checkpoint
+    (consolidate.py:48 parity): the consolidated dir loads through
+    vila_tpu.load and reproduces the trained params' logits."""
+    import jax
+    import torch
+
+    import vila_tpu
+    from helpers import save_tiny_checkpoint
+    from vila_tpu import entry
+    from vila_tpu.train.checkpoint import CheckpointManager
+    from vila_tpu.utils.weights_tools import consolidate_checkpoint
+
+    base = str(tmp_path / "base")
+    with torch.no_grad():
+        save_tiny_checkpoint(base)
+    cfg = entry.build_config(base, dtype="float32")
+    params = entry.load_params(base, cfg)
+
+    # "train": perturb params, save a trainer-layout orbax checkpoint
+    trained = jax.tree.map(lambda x: x + 0.01, params)
+    state = {"params": trained, "opt_state": {"count": jnp.zeros((), jnp.int32)}}
+    run = str(tmp_path / "run")
+    mgr = CheckpointManager(run, async_save=False)
+    mgr.save(3, state)
+    mgr.wait()
+    mgr.close()
+
+    out = str(tmp_path / "consolidated")
+    template = {"params": params, "opt_state": {"count": jnp.zeros((), jnp.int32)}}
+    consolidate_checkpoint(run, template, base, out)
+
+    eng = vila_tpu.load(out)
+    got = np.asarray(
+        jax.tree.leaves(eng.params["mm_projector"])[0], np.float32
+    )
+    want = np.asarray(jax.tree.leaves(trained["mm_projector"])[0], np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-5)

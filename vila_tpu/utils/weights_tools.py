@@ -34,33 +34,32 @@ def apply_delta(base: Dict[str, Any], delta: Dict[str, Any]) -> Dict[str, Any]:
     )
 
 
-def consolidate_checkpoints(ckpt_dirs, out_dir: str, template: Dict[str, Any]):
-    """Average multiple checkpoints of the same pytree structure into one
-    (consolidate.py's role for our orbax layout is a plain tree-mean)."""
+def consolidate_checkpoint(
+    run_dir: str,
+    template_state: Dict[str, Any],
+    model_path: str,
+    out_dir: str,
+) -> str:
+    """Training-run orbax checkpoint → deployable component checkpoint.
+
+    The reference's `consolidate.py:48` turns training artifacts (sharded,
+    optimizer-laden) into a single loadable model. Our equivalent: restore
+    the latest step of a trainer run (state template `{"params":
+    ..., "opt_state": ...}` — Trainer's save layout), drop everything but
+    the params, and write the component layout (`llm/`, `vision_tower/`,
+    `mm_projector/`) that `vila_tpu.load` consumes. Config/tokenizer come
+    from the run's base model at `model_path`."""
+    from vila_tpu import entry
     from vila_tpu.train.checkpoint import CheckpointManager
 
-    acc = None
-    n = 0
-    for d in ckpt_dirs:
-        mgr = CheckpointManager(d, async_save=False)
-        step, state = mgr.restore_latest(template)
-        mgr.close()
-        if step is None:
-            continue
-        n += 1
-        if acc is None:
-            acc = jax.tree.map(lambda x: np.asarray(x, np.float32), state)
-        else:
-            acc = jax.tree.map(
-                lambda a, x: a + np.asarray(x, np.float32), acc, state
-            )
-    assert acc is not None and n > 0, "no checkpoints found"
-    mean = jax.tree.map(lambda a: a / n, acc)
-    out = CheckpointManager(out_dir, async_save=False)
-    out.save(0, mean)
-    out.wait()
-    out.close()
-    return mean
+    mgr = CheckpointManager(run_dir, async_save=False)
+    step, state = mgr.restore_latest(template_state)
+    mgr.close()
+    assert step is not None, f"no checkpoint under {run_dir}"
+    cfg = entry.build_config(model_path, dtype="float32")
+    tokenizer = entry.load_tokenizer(model_path)
+    entry.save(state["params"], cfg, tokenizer, out_dir)
+    return out_dir
 
 
 def merge_lora_and_save(
