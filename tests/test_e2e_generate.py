@@ -135,6 +135,7 @@ def test_engine_matches_unpadded_forward(checkpoint):
     assert produced == out
 
 
+@pytest.mark.slow
 def test_decode_correct_when_cache_clamped_to_prompt_bucket(checkpoint):
     """Fill-cursor regression: with cache_len clamped to the PADDED prompt
     bucket (max_cache_len == s_pad), decode must still write KV rows — the

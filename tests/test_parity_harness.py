@@ -28,6 +28,7 @@ def ckpt(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_logits_subcommand_with_w4(ckpt, tmp_path):
     out = str(tmp_path / "report.json")
     rc = parity_vs_hf.main(
