@@ -305,3 +305,27 @@ def test_quantize_siglip_w8a8_features_close():
         np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1) + 1e-9
     )
     assert float(cos.min()) > 0.995, float(cos.min())
+
+
+def test_quantize_vit_w8a8_features_close():
+    """W8A8 on the generic ViT towers (CLIP/InternViT shapes, incl.
+    layer-scale + qk-norm extras which must pass through untouched)."""
+    from vila_tpu.models import vit
+
+    cfg = vit.ViTConfig(
+        hidden_size=48, intermediate_size=96, num_hidden_layers=3,
+        num_attention_heads=4, image_size=56, patch_size=14,
+        layer_scale=True, dtype="float32",
+    )
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    pixels = jnp.asarray(
+        np.random.default_rng(6).normal(size=(2, 56, 56, 3)).astype(
+            np.float32
+        )
+    )
+    ref = np.asarray(vit.forward(params, cfg, pixels))
+    got = np.asarray(vit.forward(vit.quantize_vit_w8a8(params), cfg, pixels))
+    cos = (got * ref).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1) + 1e-9
+    )
+    assert float(cos.min()) > 0.995, float(cos.min())

@@ -64,13 +64,16 @@ def main():
     parser.add_argument("--video-duration", type=float, default=0.0,
                         help="decode <tN> time tokens against this duration")
     parser.add_argument("--num-time-tokens", type=int, default=100)
+    parser.add_argument("--vision-int8", action="store_true",
+                        help="deploy the vision tower W8A8 (TinyChat's "
+                        "vision recipe; int8 MXU dots)")
     args = parser.parse_args()
 
     import vila_tpu
     from vila_tpu import conversation as conv_lib
     from vila_tpu.inference.generate import GenerationConfig
 
-    engine = vila_tpu.load(args.model_path)
+    engine = vila_tpu.load(args.model_path, vision_int8=args.vision_int8)
     if args.conv_mode:
         conv_lib.default_conversation = conv_lib.conv_templates[args.conv_mode]
 

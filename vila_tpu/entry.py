@@ -205,16 +205,21 @@ def load(
     cfg = build_config(model_path, dtype=dtype)
     params = load_params(model_path, cfg)
     if vision_int8:
-        from vila_tpu.models import siglip
+        from vila_tpu.models import siglip, vit
 
-        if cfg.vision_tower_type not in ("siglip",):
-            raise ValueError(
-                f"vision_int8 supports the siglip tower, not "
-                f"{cfg.vision_tower_type}"
+        if cfg.vision_tower_type in ("clip", "internvit", "radio"):
+            params["vision_tower"] = vit.quantize_vit_w8a8(
+                params["vision_tower"]
             )
-        params["vision_tower"] = siglip.quantize_siglip_w8a8(
-            params["vision_tower"]
-        )
+        elif cfg.vision_tower_type == "siglip":
+            params["vision_tower"] = siglip.quantize_siglip_w8a8(
+                params["vision_tower"]
+            )
+        else:
+            raise ValueError(
+                f"vision_int8 unsupported for tower "
+                f"{cfg.vision_tower_type!r}"
+            )
     tokenizer = load_tokenizer(model_path)
     return GenerationEngine(params, cfg, tokenizer, **kwargs)
 

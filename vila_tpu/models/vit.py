@@ -201,10 +201,31 @@ def init_params(rng: jax.Array, cfg: ViTConfig, param_dtype=jnp.float32) -> Para
 
 
 def _linear(x, p, dtype):
+    if "w8" in p:  # W8A8 slot (quantize_vit_w8a8)
+        from vila_tpu.ops.quant import w8a8_linear
+
+        return w8a8_linear(x, p, dtype)
     y = jnp.dot(x, p["kernel"].astype(dtype))
     if "bias" in p:
         y = y + p["bias"].astype(dtype)
     return y
+
+
+def quantize_vit_w8a8(params: Params) -> Params:
+    """W8A8 for the generic ViT towers (CLIP/InternViT/RADIO) — same
+    TinyChat vision recipe as `siglip.quantize_siglip_w8a8`: int8 MXU dots
+    on the stacked encoder projections; norms / patch embed / pos embed /
+    CLS stay in the compute dtype."""
+    from vila_tpu.ops.quant import quantize_w8a8
+
+    src = params["layers"]
+    layers: Params = dict(src)
+    for name in ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"):
+        slot = quantize_w8a8(src[name]["kernel"])
+        if "bias" in src[name]:
+            slot["bias"] = src[name]["bias"]
+        layers[name] = slot
+    return {**params, "layers": layers}
 
 
 def _act(x, kind: str):
