@@ -123,7 +123,52 @@ def diff_time(run, n_small, n_big, *args):
     return best
 
 
+def _probe_device():
+    """Child-process body: touch the accelerator once."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 8))
+    float((x @ x).sum())
+
+
+def preflight(timeout_s: float = 240.0, attempts: int = 3) -> None:
+    """Fail fast (exit 3) if the accelerator is unreachable.
+
+    The dev TPU hangs off a network tunnel that can wedge; a bare
+    `jax.devices()` then blocks forever inside the runtime and the driver
+    records a silent timeout. Probing in a spawned child bounds the wait
+    and leaves this process's backend uninitialized."""
+    import multiprocessing as mp
+    import sys
+
+    ctx = mp.get_context("spawn")
+    for i in range(attempts):
+        p = ctx.Process(target=_probe_device, daemon=True)
+        p.start()
+        p.join(timeout_s)
+        if p.exitcode == 0:
+            return
+        if p.is_alive():
+            p.kill()
+            p.join(5)
+        print(
+            f"[bench] accelerator preflight attempt {i + 1}/{attempts} "
+            f"failed (exitcode={p.exitcode})",
+            file=sys.stderr, flush=True,
+        )
+    print(
+        '{"metric": "preflight", "value": 0, "unit": "unreachable", '
+        '"vs_baseline": 0, "notes": "accelerator unreachable: device probe '
+        f'timed out {attempts}x{timeout_s:.0f}s (tunnel down?)"}}',
+        flush=True,
+    )
+    sys.exit(3)
+
+
 def main():
+    preflight()
+
     import jax
     import jax.numpy as jnp
 
