@@ -153,3 +153,24 @@ def test_blocked_fully_masked_rows_are_zero():
     out = attention_blocked(q, k, v, causal=True, q_positions=qp,
                             kv_positions=kp, block=8)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_auto_routes_large_offset_q_to_blocked():
+    """Cache-prefill shapes (q_positions set -> flash kernel rejected) must
+    not materialize (Sq, Skv) scores at long context: auto picks the
+    blocked path for large score matrices and matches xla numerics."""
+    from vila_tpu.ops.attention import multi_head_attention
+
+    rng = np.random.default_rng(2)
+    b, sq, skv, h, d = 1, 512, 8192, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, sq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, skv, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, skv, h, d)).astype(np.float32))
+    qp = jnp.broadcast_to(
+        jnp.arange(100, 100 + sq, dtype=jnp.int32), (b, sq))
+    kp = jnp.broadcast_to(jnp.arange(skv, dtype=jnp.int32), (b, skv))
+    kwargs = dict(causal=True, q_positions=qp, kv_positions=kp)
+    got = multi_head_attention(q, k, v, impl="auto", **kwargs)
+    ref = attention_xla(q, k, v, **kwargs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

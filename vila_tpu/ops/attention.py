@@ -276,11 +276,20 @@ def multi_head_attention(
     """Attention entry point with implementation dispatch.
 
     impl: "auto" | "xla" | "pallas" | "blocked".  "auto" picks the Pallas
-    flash kernel on TPU for shapes it supports, else the XLA path.
-    "blocked" is the memory-bounded online-softmax path (long context).
+    flash kernel on TPU for shapes it supports, else the memory-bounded
+    online-softmax path for large score matrices (the cache-prefill path
+    always carries q_positions, which the flash kernel rejects — a long
+    prompt against a long cache would otherwise materialize an
+    (Sq, cache_len) score slab per head: ~7.5 GB at an 8k bucket on the
+    8B shape), else plain XLA.
     """
     if impl == "auto":
-        impl = "pallas" if _pallas_supported(q, k, v, q_positions) else "xla"
+        if _pallas_supported(q, k, v, q_positions):
+            impl = "pallas"
+        elif q.shape[1] >= 256 and q.shape[1] * k.shape[1] >= (1 << 22):
+            impl = "blocked"
+        else:
+            impl = "xla"
     if impl == "blocked":
         return attention_blocked(
             q, k, v,
