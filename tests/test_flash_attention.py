@@ -174,3 +174,19 @@ def test_auto_routes_large_offset_q_to_blocked():
     ref = attention_xla(q, k, v, **kwargs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_blocked_non_causal_matches_xla():
+    """Non-causal blocked attention (vision-tower shapes can hit the auto
+    threshold, e.g. PS3 high-res sequences)."""
+    from vila_tpu.ops.attention import attention_blocked
+
+    rng = np.random.default_rng(3)
+    b, s, h, d = 2, 70, 4, 24
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    ref = attention_xla(q, k, v, causal=False)
+    got = attention_blocked(q, k, v, causal=False, block=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
