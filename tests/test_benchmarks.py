@@ -136,6 +136,25 @@ def test_registry_has_real_benchmarks():
         assert "accuracy" in reg[task]["metrics"]
 
 
+def test_registry_breadth_pinned():
+    """The registry's breadth is a parity claim (reference ships 68 tasks,
+    llava/eval/registry.yaml) — pin the floor so task removals are loud."""
+    from vila_tpu.cli.eval import load_registry
+
+    reg = load_registry()
+    assert len(reg) >= 90, len(reg)
+    by_tag = {}
+    for name, spec in reg.items():
+        for t in spec.get("tags", []):
+            by_tag.setdefault(t, []).append(name)
+    assert len(by_tag.get("benchmark", [])) >= 45
+    assert len(by_tag.get("lmms", [])) >= 35
+    assert len(by_tag.get("longvila", [])) >= 10
+    # every task names at least one metric with a resolvable path
+    for name, spec in reg.items():
+        assert spec.get("metrics"), name
+
+
 # ---------------------------------------------------------------------------
 # lmms-eval wrapper (standalone mode)
 # ---------------------------------------------------------------------------
