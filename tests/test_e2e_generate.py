@@ -205,3 +205,51 @@ def test_save_load_roundtrip(checkpoint, tmp_path):
     l1, _ = qwen2.forward(engine.params["llm"], engine.cfg.llm, input_ids=jnp.asarray(ids))
     l2, _ = qwen2.forward(engine2.params["llm"], engine2.cfg.llm, input_ids=jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fuzz_greedy_consistency_across_shapes(checkpoint):
+    """Randomized net over the bucketed engine: prompts of varying length
+    (different PROMPT_BUCKETS, with/without image), decode lengths crossing
+    chunk boundaries — every greedy token must equal the argmax of a
+    cacheless forward over the full prefix."""
+    path, *_ = checkpoint
+    from PIL import Image as PILImage
+
+    from vila_tpu.models import qwen2, vlm
+
+    engine = vila_tpu.load(path)
+    rng = np.random.default_rng(7)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "fox"]
+    cases = []
+    for n_words, with_img, n_new in [(3, True, 5), (40, False, 9),
+                                     (15, True, 3), (70, False, 7)]:
+        text = " ".join(rng.choice(words, n_words))
+        prompt = [text]
+        if with_img:
+            img = PILImage.fromarray(
+                rng.integers(0, 255, (48, 56, 3), np.uint8))
+            prompt = [vila_tpu.Image(img), text]
+        cases.append((prompt, with_img, n_new))
+
+    for prompt, with_img, n_new in cases:
+        inputs = engine.prepare_inputs(prompt)
+        out = engine.generate_ids(
+            inputs, GenerationConfig(max_new_tokens=n_new))
+        feats = None
+        if with_img:
+            feats = vlm.encode_images(
+                engine.params, engine.cfg,
+                jnp.asarray(inputs["media"][0]["tiles"]),
+            ).reshape(-1, engine.cfg.llm.hidden_size)
+        cur = list(inputs["input_ids"])
+        for i, tok in enumerate(out):
+            embeds = qwen2.embed_tokens(
+                engine.params["llm"], engine.cfg.llm, jnp.asarray([cur]))
+            if feats is not None:
+                embeds = vlm.splice_media(
+                    embeds, feats, jnp.asarray(inputs["media_pos"]))
+            logits, _ = qwen2.forward(
+                engine.params["llm"], engine.cfg.llm, inputs_embeds=embeds)
+            assert int(jnp.argmax(logits[0, -1])) == tok, (prompt, i)
+            cur.append(tok)
