@@ -285,3 +285,32 @@ def test_batcher_chunked_prefill_matches_serial(engine):
         batcher.shutdown()
     assert got == serial
     assert short == engine.generate_content("hi there", gc)
+
+
+@pytest.mark.slow
+def test_batcher_decode_past_prompt_bucket_gap(engine):
+    """Fill-cursor regression (batcher side): with max_len equal to the
+    prompt's PADDED bucket, decode must keep writing KV rows after the
+    pad gap — a cursor left at s_pad would silently drop every write
+    (mode="drop") while slot.position still passed the capacity check.
+    Covers both the single-shot and chunked admission paths."""
+    from vila_tpu.inference.generate import PROMPT_BUCKETS, _bucket
+    from vila_tpu.serving.batcher import ContinuousBatcher
+
+    text = "the quick brown fox jumps over the lazy dog " * 4
+    inputs = engine.prepare_inputs([text])
+    prompt_len = int(inputs["input_ids"].shape[0])
+    s_pad = _bucket(prompt_len, PROMPT_BUCKETS)
+    assert s_pad - prompt_len > 5, (prompt_len, s_pad)
+
+    gc = GenerationConfig(max_new_tokens=s_pad - prompt_len, do_sample=False)
+    serial = engine.generate_content(text, gc)
+    for chunk in (None, 64):
+        batcher = ContinuousBatcher(
+            engine, max_batch=1, max_len=s_pad, prefill_chunk=chunk
+        )
+        try:
+            got = batcher.generate_content(text, gc)
+        finally:
+            batcher.shutdown()
+        assert got == serial, f"prefill_chunk={chunk}"
