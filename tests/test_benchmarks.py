@@ -547,3 +547,52 @@ def test_run_benchmark_via_batcher(monkeypatch):
     assert [r["question"] for r in out["results"]] == [
         f"q{i}" for i in range(4)
     ]
+
+
+def test_vila_eval_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """Drive `vila-eval` main() over a synthetic registry: tag filtering,
+    concurrent task subprocesses, metric JSON-path collection, failure
+    reporting, and the results.json artifact (cli/eval.py parity with
+    llava/cli/eval.py:29-239)."""
+    import sys
+
+    from vila_tpu.cli import eval as eval_cli
+
+    reg = {
+        "good": {
+            "tags": ["core"],
+            "command": (
+                "python -c \"import json; json.dump({'acc': 0.75}, "
+                "open('$OUTPUT_DIR/metrics.json', 'w'))\""
+            ),
+            "metrics": {"accuracy": "acc"},
+        },
+        "bad": {
+            "tags": ["core"],
+            "command": "exit 7",
+            "metrics": {"accuracy": "acc"},
+        },
+        "skipped": {
+            "tags": ["other"],
+            "command": "true",
+            "metrics": {},
+        },
+    }
+    reg_path = tmp_path / "registry.yaml"
+    import yaml as _yaml
+
+    reg_path.write_text(_yaml.safe_dump(reg))
+    out = tmp_path / "runs"
+    monkeypatch.setattr(sys, "argv", [
+        "vila-eval", "-m", "model-x", "--tags", "core",
+        "-o", str(out), "--registry", str(reg_path), "--concurrency", "2",
+    ])
+    eval_cli.main()
+
+    results = json.load(open(out / "model-x" / "results.json"))
+    assert set(results) == {"good", "bad"}
+    assert results["good"]["exit_code"] == 0
+    assert results["good"]["metrics"] == {"accuracy": 0.75}
+    assert results["bad"]["exit_code"] == 7
+    text = capsys.readouterr().out
+    assert "FAIL(7)] bad" in text and "== summary ==" in text
