@@ -743,6 +743,51 @@ def _w4_matmul_decode_grid(
 # --------------------------------------------------------------------------
 
 
+def _prefill_block_body(
+    x_lo_ref, x_hi_ref, p_block, s_lo_g, s_hi_g,
+    o_ref, acc_ref, w_lo_ref, w_hi_ref, *,
+    group_size: int, groups_per_block: int,
+):
+    """Shared prefill block body (flat + stacked callers).
+
+    Dequantizes the weight block into VMEM scratch with the scales AND the
+    int4 zero point folded in, then runs TWO large-K MXU dots. The previous
+    form issued 2*gpb small K=group_size dots plus per-group f32
+    accumulator updates and a zero-point row-sum — measured 59% MXU on the
+    8B prefill; large-K dots keep the systolic pipeline full, and the bf16
+    scratch weights make the kernel numerically identical to
+    dequantize-then-matmul."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lo, h16 = _unpack_planes(p_block)
+    for g in range(groups_per_block):
+        sl = slice(g * group_size, (g + 1) * group_size)
+        s_l = s_lo_g(g).astype(jnp.bfloat16)[None, :]
+        # h16 = 16*(hi-8): fold the /16 into the scale (exact — exponent)
+        s_h = (s_hi_g(g).astype(jnp.float32) * 0.0625).astype(
+            jnp.bfloat16
+        )[None, :]
+        w_lo_ref[sl, :] = (lo[sl, :].astype(jnp.bfloat16) - 8.0) * s_l
+        w_hi_ref[sl, :] = h16[sl, :].astype(jnp.bfloat16) * s_h
+    acc_ref[:] += jax.lax.dot_general(
+        x_lo_ref[:], w_lo_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] += jax.lax.dot_general(
+        x_hi_ref[:], w_hi_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _w4_prefill_kernel(
     x_lo_ref,  # (bm, bin) bf16
     x_hi_ref,  # (bm, bin) bf16
@@ -751,41 +796,21 @@ def _w4_prefill_kernel(
     s_hi_ref,  # (1, 1, gpb, bout) bf16
     o_ref,  # (bm, bout)
     acc_ref,  # (bm, bout) f32
+    w_lo_ref,  # (bin, bout) bf16 scratch
+    w_hi_ref,  # (bin, bout) bf16 scratch
     *,
     group_size: int,
     groups_per_block: int,
 ):
     """Single-pass: k innermost so each weight block is read exactly once;
     unpack/scale cost amortizes over all m rows, prefill stays MXU-bound."""
-    ki = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(ki == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    for g in range(groups_per_block):
-        sl = slice(g * group_size, (g + 1) * group_size)
-        lo, h16 = _unpack_planes(p_ref[0, sl, :])
-        xg_lo = x_lo_ref[:, sl]
-        xg_hi = x_hi_ref[:, sl]
-        part_lo = jax.lax.dot_general(
-            xg_lo, lo.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        part_hi = jax.lax.dot_general(
-            xg_hi, h16.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        c_lo = jnp.sum(xg_lo.astype(jnp.float32), axis=1, keepdims=True)
-        s_l = s_lo_ref[0, 0, g, :].astype(jnp.float32)[None, :]
-        s_h = s_hi_ref[0, 0, g, :].astype(jnp.float32)[None, :]
-        acc_ref[:] += (part_lo - 8.0 * c_lo) * s_l
-        acc_ref[:] += part_hi * (s_h / 16.0)
-
-    @pl.when(ki == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+    _prefill_block_body(
+        x_lo_ref, x_hi_ref, p_ref[0],
+        lambda g: s_lo_ref[0, 0, g, :],
+        lambda g: s_hi_ref[0, 0, g, :],
+        o_ref, acc_ref, w_lo_ref, w_hi_ref,
+        group_size=group_size, groups_per_block=groups_per_block,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("block_m",))
@@ -816,7 +841,11 @@ def w4_matmul_prefill(
     kernel = functools.partial(
         _w4_prefill_kernel, group_size=group_size, groups_per_block=gpb
     )
-    scratch = [pltpu.VMEM((block_m, bout), jnp.float32)]
+    scratch = [
+        pltpu.VMEM((block_m, bout), jnp.float32),
+        pltpu.VMEM((block_in, bout), jnp.bfloat16),
+        pltpu.VMEM((block_in, bout), jnp.bfloat16),
+    ]
     out_shape = jax.ShapeDtypeStruct((x.shape[0], dout), x.dtype)
     cp = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -831,38 +860,14 @@ def w4_matmul_prefill(
         s_hi5 = scales[:, :, ngh : 2 * ngh, :].reshape(L, nj, nk, gpb, bout)
 
         def wrapped(l_ref, x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref,
-                    o_ref, acc_ref):
-            ki = pl.program_id(2)
-            nk_ = pl.num_programs(2)
-
-            @pl.when(ki == 0)
-            def _():
-                acc_ref[:] = jnp.zeros_like(acc_ref)
-
-            for g in range(gpb):
-                sl = slice(g * group_size, (g + 1) * group_size)
-                lo, h16 = _unpack_planes(p_ref[0, 0, sl, :])
-                xg_lo = x_lo_ref[:, sl]
-                xg_hi = x_hi_ref[:, sl]
-                part_lo = jax.lax.dot_general(
-                    xg_lo, lo.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                part_hi = jax.lax.dot_general(
-                    xg_hi, h16.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                c_lo = jnp.sum(
-                    xg_lo.astype(jnp.float32), axis=1, keepdims=True
-                )
-                s_l = s_lo_ref[0, 0, 0, g, :].astype(jnp.float32)[None, :]
-                s_h = s_hi_ref[0, 0, 0, g, :].astype(jnp.float32)[None, :]
-                acc_ref[:] += (part_lo - 8.0 * c_lo) * s_l
-                acc_ref[:] += part_hi * (s_h / 16.0)
-
-            @pl.when(ki == nk_ - 1)
-            def _():
-                o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+                    o_ref, acc_ref, w_lo_ref, w_hi_ref):
+            _prefill_block_body(
+                x_lo_ref, x_hi_ref, p_ref[0, 0],
+                lambda g: s_lo_ref[0, 0, 0, g, :],
+                lambda g: s_hi_ref[0, 0, 0, g, :],
+                o_ref, acc_ref, w_lo_ref, w_hi_ref,
+                group_size=group_size, groups_per_block=gpb,
+            )
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
