@@ -201,14 +201,20 @@ def _linear(x, p, dtype, fp8: bool = False):
     return y
 
 
-def w4_matmul_stacked_dispatch(x2, packed, scales, layer_index):
-    """Stacked quantized matmul: decode kernel for tiny m; prefill falls
-    back to slicing one layer (copy cost amortizes over many rows)."""
+def w4_matmul_stacked_dispatch(x2, packed, scales, layer_index,
+                               scale_planes=None):
+    """Stacked quantized matmul: decode kernel for tiny m; prefill kernel
+    otherwise. `scale_planes` is the hoisted (s_lo5, s_hi5) pair from
+    quant.prefill_scale_planes — compute it OUTSIDE the layer scan (the
+    slice+reshape copies the whole stacked scale tensor per call)."""
     from vila_tpu.ops.quant import w4_matmul_decode, w4_matmul_prefill
 
     if x2.shape[0] <= 32:
         return w4_matmul_decode(x2, packed, scales, layer_index=layer_index)
-    return w4_matmul_prefill(x2, packed, scales, layer_index=layer_index)
+    return w4_matmul_prefill(
+        x2, packed, scales, layer_index=layer_index,
+        scale_planes=scale_planes,
+    )
 
 
 def forward(
@@ -311,9 +317,21 @@ def forward(
         for name, slot in all_layers.items()
     }
 
-    def _qlinear_stacked(x2, name, lp, l):
-        from vila_tpu.ops.quant import w4_matmul
+    # Prefill-sized calls use the prefill kernel, whose stacked form wants
+    # kernel-ready 5D scale planes. Compute them HERE — outside the layer
+    # scan — once per forward; inside the scan body the slice+reshape
+    # copies the whole stacked scale tensor per layer (~0.47 ms/layer,
+    # ~13 ms per 8B prefill, measured on v5e).
+    q_planes = {}
+    if b * s > 32 and q_stacked:
+        from vila_tpu.ops.quant import prefill_scale_planes
 
+        q_planes = {
+            name: prefill_scale_planes(slot["packed"], slot["scales"])
+            for name, slot in q_stacked.items()
+        }
+
+    def _qlinear_stacked(x2, name, lp, l):
         slot = q_stacked[name]
         lead = x2.shape[:-1]
         m = 1
@@ -322,6 +340,7 @@ def forward(
         y = w4_matmul_stacked_dispatch(
             x2.reshape(m, x2.shape[-1]).astype(jnp.bfloat16),
             slot["packed"], slot["scales"], l,
+            scale_planes=q_planes.get(name),
         ).astype(dtype)
         y = y.reshape(*lead, y.shape[-1])
         if "bias" in lp[name]:
