@@ -107,20 +107,23 @@ def build_8b_quantized(dtype="bfloat16"):
     return params, cfg
 
 
-def diff_time(run, n_small, n_big, *args):
-    """Differential timing: (t(n_big) - t(n_small)) / (n_big - n_small)."""
+def diff_time(run, n_small, n_big, *args, reps=3):
+    """Differential timing: (min t(n_big) - min t(n_small)) / (n_big -
+    n_small). Mins are taken SEPARATELY over interleaved reps — a paired
+    single-shot difference goes negative when tunnel jitter lands on the
+    n_small sample (seen as a negative video-ctx tok/s in BENCH_r04's
+    first run)."""
     float(run(n_small, *args))
     float(run(n_big, *args))
-    best = float("inf")
-    for _ in range(2):
+    ts, tb = [], []
+    for _ in range(reps):
         t0 = time.time()
         float(run(n_small, *args))
-        t1 = time.time() - t0
+        ts.append(time.time() - t0)
         t0 = time.time()
         float(run(n_big, *args))
-        t2 = time.time() - t0
-        best = min(best, (t2 - t1) / (n_big - n_small))
-    return best
+        tb.append(time.time() - t0)
+    return (min(tb) - min(ts)) / (n_big - n_small)
 
 
 def _probe_device():
@@ -164,6 +167,114 @@ def preflight(timeout_s: float = 240.0, attempts: int = 3) -> None:
         flush=True,
     )
     sys.exit(3)
+
+
+def bench_train(progress):
+    """Training-step perf: 8B-shape decoder (hidden 3584 / inter 18944 /
+    GQA 28:4), seq 2048, remat, chunked CE, COAT fp8-moment AdamW.
+
+    The full 28-layer 8B does not fit one 16 GB chip for TRAINING (that is
+    what FSDP over the mesh is for — see __graft_entry__.dryrun_multichip),
+    so per-layer cost is measured by depth-differencing two jitted configs
+    (L=4 vs L=2) and extrapolated: t(28) = t_fixed + 28 * t_layer. MFU uses
+    the standard 6*P*T + 12*L*H*hd*S*T model-FLOPs (remat recompute counts
+    as overhead, not useful FLOPs). Anchor: the reference trains SFT at
+    global bs 2048 on 8xA100 nodes (scripts/NVILA-Lite/sft.sh:4).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vila_tpu.models import qwen2
+    from vila_tpu.train.fp8_adamw import fp8_adamw
+    from vila_tpu.train.losses import chunked_causal_lm_loss
+
+    V, S, B = 32768, 2048, 1  # bench vocab (noted in result), seq, batch
+
+    def step_time_for(depth, fp8_matmul=False):
+        cfg = qwen2.LLMConfig(
+            vocab_size=V, hidden_size=3584, intermediate_size=18944,
+            num_hidden_layers=depth, num_attention_heads=28,
+            num_key_value_heads=4, rope_theta=1e6,
+            tie_word_embeddings=False, dtype="bfloat16", remat=True,
+            fp8_matmul="group" if fp8_matmul else False,
+        )
+        params = qwen2.init_params(
+            jax.random.PRNGKey(0), cfg, param_dtype=jnp.bfloat16
+        )
+        opt = fp8_adamw(learning_rate=1e-5)
+        opt_state = opt.init(params)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, V)
+        labels = jnp.roll(ids, -1, axis=1)
+
+        def loss_fn(p, ids, labels):
+            hidden, _ = qwen2.forward(
+                p, cfg, input_ids=ids, return_hidden=True
+            )
+            loss, _ = chunked_causal_lm_loss(
+                hidden, p, cfg, labels, chunk_size=1024, shift=False
+            )
+            return loss
+
+        # no donation: diff_time re-invokes with the same state arrays
+        @partial(jax.jit, static_argnames="n")
+        def run(params, opt_state, ids, labels, n):
+            def body(carry, _):
+                p, s = carry
+                loss, grads = jax.value_and_grad(loss_fn)(p, ids, labels)
+                updates, s = opt.update(grads, s, p)
+                p = optax.apply_updates(p, updates)
+                return (p, s), loss
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=n
+            )
+            return losses[-1]
+
+        t = diff_time(
+            lambda n, p, s: run(p, s, ids, labels, n),
+            1, 4, params, opt_state, reps=2,
+        )
+        return t
+
+    t4 = step_time_for(4)
+    t2 = step_time_for(2)
+    t_layer = (t4 - t2) / 2
+    t_fixed = max(t2 - 2 * t_layer, 0.0)
+    t28 = t_fixed + 28 * t_layer
+    tokens_per_s = B * S / t28
+    # model FLOPs for the 28-layer 8B shape at this vocab
+    H, hd, I, D = 28, 128, 18944, 3584
+    p_layer = D * (28 + 2 * 4) * hd + 28 * hd * D + 3 * D * I
+    P = 28 * p_layer + V * D  # + lm_head (chunked CE computes it)
+    flops_per_tok = 6 * P + 12 * 28 * D * S  # attention term
+    mfu = flops_per_tok * tokens_per_s / 197e12
+    progress(
+        f"train (8B-shape, seq {S}, remat, fp8-adamw): "
+        f"layer {t_layer*1e3:.1f} ms, 28L step {t28*1e3:.0f} ms, "
+        f"{tokens_per_s:.0f} tok/s/chip, MFU {mfu:.3f}"
+    )
+    t4_f = step_time_for(4, fp8_matmul=True)
+    t2_f = step_time_for(2, fp8_matmul=True)
+    t28_f = max(t2_f - (t4_f - t2_f), 0.0) + 14 * (t4_f - t2_f)
+    tokens_f = B * S / t28_f if t28_f > 0 else 0.0
+    progress(
+        f"train fp8-group matmul: 28L step {t28_f*1e3:.0f} ms, "
+        f"{tokens_f:.0f} tok/s/chip"
+    )
+    return {
+        "train_step_28l_ms": round(t28 * 1e3, 1),
+        "train_tokens_per_s_chip": round(tokens_per_s, 1),
+        "train_mfu": round(mfu, 4),
+        "train_fp8_step_28l_ms": round(t28_f * 1e3, 1),
+        "train_fp8_tokens_per_s_chip": round(tokens_f, 1),
+        "train_notes": (
+            f"bs{B} x seq{S}, vocab {V} (bench-reduced), remat on, chunked "
+            "CE, COAT fp8-moment AdamW; 28-layer time extrapolated from "
+            "depth-4/depth-2 jitted step difference (full 8B training "
+            "state exceeds one 16GB chip; multi-chip FSDP path is "
+            "validated by dryrun_multichip)"
+        ),
+    }
 
 
 def main():
@@ -378,6 +489,7 @@ def main():
     # ONE compiled call (generate._prefill_first). This is what a server
     # actually pays per request (VERDICT round-1 ask).
     engine_ttft_ms = None
+    adjusted_paired_ms = float("inf")
     try:
         from PIL import Image as PILImage
 
@@ -403,15 +515,22 @@ def main():
         # the engine. Alternating the two probes samples the same tunnel
         # conditions; both mins come from the same window.
         engine_ttft_ms = float("inf")
+        adjusted_paired_ms = float("inf")
         for _ in range(12):
             t0 = time.time()
             next(iter(engine.stream_ids(engine.prepare_inputs(prompt), gc)))
-            engine_ttft_ms = min(
-                engine_ttft_ms, (time.time() - t0) * 1000
-            )
+            e_i = (time.time() - t0) * 1000
+            engine_ttft_ms = min(engine_ttft_ms, e_i)
             t0 = time.time()
             int(_upload(_payload0))
-            upload_rtt_ms = min(upload_rtt_ms, (time.time() - t0) * 1000)
+            u_i = (time.time() - t0) * 1000
+            upload_rtt_ms = min(upload_rtt_ms, u_i)
+            # PAIRED adjustment: e_i and u_i ride the same tunnel window,
+            # so their difference is robust to the minute-scale latency
+            # drift that biases min(e) - min(u) when the two mins land in
+            # different windows (r3: 65.9 ms "adjusted" vs 44 ms measured
+            # by a same-window split probe).
+            adjusted_paired_ms = min(adjusted_paired_ms, e_i - u_i)
     except Exception as e:  # engine bench is best-effort on the dev tunnel
         engine_ttft_ms = f"failed: {type(e).__name__}: {e}"
 
@@ -438,6 +557,14 @@ def main():
     achieved_gbps = step_bytes / step_time / 1e9
     v5e_peak_gbps = 819.0
 
+    # ---------------- training step (VERDICT r3 #4) ----------------
+    try:
+        train_metrics = bench_train(progress)
+    except Exception as e:  # train bench is best-effort on the dev tunnel
+        train_metrics = {
+            "train_notes": f"failed: {type(e).__name__}: {e}"
+        }
+
     result = {
         "metric": "NVILA-8B-shape W4A16 decode throughput (bs=1, ctx 1280, v5e chip)",
         "value": round(decode_tps, 2),
@@ -462,7 +589,7 @@ def main():
         "host_rtt_ms": round(rtt_ms, 1),
         "upload_rtt_ms": round(upload_rtt_ms, 1),
         "engine_ttft_adjusted_ms": (
-            round(engine_ttft_ms - upload_rtt_ms, 1)
+            round(adjusted_paired_ms, 1)
             if isinstance(engine_ttft_ms, float)
             else None
         ),
@@ -474,8 +601,10 @@ def main():
         "engine_ttft = full host path (ONE blocking compiled call: upload + dispatch "
         "+ first-token readback over the dev tunnel); engine_ttft_adjusted subtracts "
         "the measured upload-shaped RTT, which covers both tunnel legs "
-        "(co-located host estimate)",
+        "(co-located host estimate); engine_ttft_adjusted uses PAIRED "
+        "same-window subtraction (robust to tunnel latency drift)",
     }
+    result.update(train_metrics)
     print(json.dumps(result))
 
 

@@ -82,3 +82,111 @@ def test_constrained_generate_end_to_end(tmp_path):
     val = JsonPrefixValidator()
     assert out.strip(), "constrained decode produced nothing"
     assert val.is_valid_prefix(out), out
+
+
+# ---------------------------------------------------------------------------
+# Full-vocab grammar masking (r3 VERDICT #5)
+# ---------------------------------------------------------------------------
+
+from vila_tpu.inference.constrained import (  # noqa: E402
+    JsonAutomaton,
+    grammar_token_mask,
+)
+
+
+@pytest.mark.parametrize("s", VALID_PREFIXES)
+def test_automaton_accepts_valid_prefixes(s):
+    assert JsonAutomaton().run(s) == "ok", s
+
+
+@pytest.mark.parametrize("s", INVALID_PREFIXES)
+def test_automaton_rejects_invalid_prefixes(s):
+    assert JsonAutomaton().run(s) == "reject", s
+
+
+def test_automaton_agrees_with_validator_fuzz(v):
+    """Randomized agreement: incremental automaton == batch validator."""
+    rng = np.random.default_rng(0)
+    alphabet = list('{}[]",:.\\ 019-aetrunlfsx"')
+    for _ in range(500):
+        n = int(rng.integers(0, 12))
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        got = JsonAutomaton().run(s) == "ok"
+        want = v.is_valid_prefix(s)
+        assert got == want, (s, got, want)
+
+
+def test_grammar_mask_soundness(v):
+    """The mask may keep junk (exact check drops it) but must NEVER reject
+    a token the exact validator accepts — for every reachable state."""
+    from helpers import make_tiny_tokenizer
+    from vila_tpu.data.tokenizer_utils import add_media_tokens
+
+    tok = make_tiny_tokenizer()
+    add_media_tokens(tok)
+    vsz = len(tok)
+    pieces = [tok.decode([i], skip_special_tokens=True) for i in range(vsz)]
+    for text in VALID_PREFIXES:
+        a = JsonAutomaton()
+        assert a.run(text) == "ok"
+        mask = grammar_token_mask(tok, a)
+        for tid in range(vsz):
+            piece = pieces[tid]
+            if not piece:
+                continue
+            if v.is_valid_prefix(text + piece):
+                assert mask[tid], (text, tid, repr(piece))
+
+
+def test_schema_token_outside_topk_still_emitted():
+    """r3 VERDICT #5 acceptance: the schema-legal token sits OUTSIDE the
+    top-K=32 window under adversarial logits, and generation still emits
+    the exact schema."""
+    from helpers import make_tiny_tokenizer
+
+    tok = make_tiny_tokenizer()
+    schema = {
+        "type": "object",
+        "properties": {"zq": {"type": "integer"}},
+        "required": ["zq"],
+    }
+    sampler = JsonConstrainedSampler(tok, schema, top_k=32)
+    vsz = len(tok)
+    rng = np.random.default_rng(1)
+
+    target = '{"zq": 0}'
+    steps = 0
+    out = []
+    while not sampler.done() and steps < 64:
+        logits = np.asarray(rng.normal(0, 1, (vsz,)), np.float32)
+        # adversarial: every token that could advance THIS sampler gets a
+        # strongly negative score, so ALL legal tokens rank below the 32
+        # highest-scoring (illegal) ones; among the legal ones, tokens on
+        # the target string rank best so the walk terminates
+        val = JsonPrefixValidator()
+        for tid in range(vsz):
+            piece = tok.decode(
+                sampler._ids + [tid], skip_special_tokens=True
+            )
+            if (
+                piece.startswith(sampler.text)
+                and len(piece) > len(sampler.text)
+                and val.is_valid_prefix(piece)
+            ):
+                on_target = target.startswith(piece)
+                logits[tid] = (-100.0 if on_target else -200.0) - rng.random()
+        n_legal = int((logits < -50).sum())
+        if vsz - n_legal >= 32:
+            # enough illegal tokens to fill the whole top-32 window: every
+            # legal token really is outside it
+            assert np.sort(logits)[-32:].min() > -50
+        tid = sampler.pick(logits)
+        assert tid is not None, (sampler.text, steps)
+        out.append(tid)
+        steps += 1
+
+    assert sampler.done(), sampler.text
+    parsed = json.loads(sampler.text)
+    assert set(parsed.keys()) == {"zq"}, sampler.text
+    # decoded ids reproduce the sampler's text exactly (no _ids desync)
+    assert tok.decode(out, skip_special_tokens=True) == sampler.text
