@@ -738,7 +738,21 @@ def _aggregate(task: str, rows: List[Dict[str, float]]) -> Dict[str, float]:
     return metrics
 
 
+FIXTURE_ROOT = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def resolve_dataset(path: str) -> str:
+    """`fixture:mini/pope.jsonl` -> the committed in-package fixture file.
+
+    The mini fixtures (data_prepare/make_mini_eval_fixture.py) ship with the
+    package so `vila-eval -t pope-mini` needs no dataset env vars."""
+    if path.startswith("fixture:"):
+        return os.path.join(FIXTURE_ROOT, path[len("fixture:"):])
+    return path
+
+
 def load_dataset(path: str) -> List[Dict[str, Any]]:
+    path = resolve_dataset(path)
     with open(path) as f:
         if path.endswith(".jsonl"):
             return [json.loads(line) for line in f if line.strip()]
@@ -815,13 +829,17 @@ def main(argv=None) -> int:
     )
     args = p.parse_args(argv)
 
+    media_root = args.media_root
+    if not media_root and args.dataset.startswith("fixture:"):
+        media_root = os.path.dirname(resolve_dataset(args.dataset))
+
     import vila_tpu
 
     engine = vila_tpu.load(args.model_path)
     out = run_benchmark(
         engine, args.task, load_dataset(args.dataset),
         max_new_tokens=args.max_new_tokens,
-        media_root=args.media_root, limit=args.limit,
+        media_root=media_root, limit=args.limit,
         concurrency=args.concurrency,
     )
     os.makedirs(args.output_dir, exist_ok=True)
