@@ -78,7 +78,7 @@ def main():
         (3584, D, 5632),  # patch-discussion probe shape
     ]
     total = 0.0
-    print("per-shape (differential, chained-32):")
+    print("per-shape (differential, K=8 vs K=72 chained):")
     for m, din, dout in shapes:
         dt = bench_one(m, din, dout)
         if m == 384:

@@ -863,6 +863,25 @@ def w4_matmul_prefill(
     block_in = gpb * group_size
     nk = half // block_in
 
+    # VMEM guard (advisor r3): pick_bout budgets only the packed input
+    # block — the dequant scratch planes, f32 accumulator, and the
+    # double-buffered x/packed/out blocks are extra. Assert the per-step
+    # total fits comfortably in the chip's 128 MB VMEM so a caller passing
+    # a large bout_budget (the tall-matrix down_proj case) fails loudly at
+    # trace time instead of OOMing Mosaic.
+    vmem_bytes = (
+        2 * 2 * block_m * block_in * 2  # x_lo/x_hi inputs, double-buffered
+        + 2 * block_in * bout  # packed uint8 block, double-buffered
+        + block_m * bout * 4  # f32 accumulator scratch
+        + 2 * block_in * bout * 2  # w_lo/w_hi bf16 dequant scratch
+        + 2 * block_m * bout * 2  # output block, double-buffered
+    )
+    assert vmem_bytes <= 100 << 20, (
+        f"w4_matmul_prefill per-step VMEM {vmem_bytes >> 20} MB exceeds "
+        f"budget (block_m={block_m}, block_in={block_in}, bout={bout}); "
+        "shrink block_m or quantize with a smaller bout_budget"
+    )
+
     grid = (x.shape[0] // block_m, nj, nk)
 
     kernel = functools.partial(
