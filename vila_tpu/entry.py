@@ -262,12 +262,65 @@ def llm_state_dict(params: Dict[str, Any], cfg: vlm.VLMConfig) -> Dict[str, np.n
     return sd
 
 
+def generic_vit_state_dict(
+    vp: Dict[str, Any], num_layers: int
+) -> Dict[str, np.ndarray]:
+    """vila_tpu.models.vit tower pytree → the VILAGenericViT torch module's
+    state dict (export/modeling_vila.py) — covers CLIP / InternViT / RADIO
+    in the single-repo HF export (ref: remote_code/modeling_vila.py:506)."""
+    vsd: Dict[str, np.ndarray] = {
+        "patch_embed.weight": _np32t(vp["patch_embedding"]["kernel"]),
+        "pos_embed": _np32(vp["position_embedding"]["embedding"]),
+        "post_ln.weight": _np32(vp["post_layernorm"]["scale"]),
+        "post_ln.bias": _np32(vp["post_layernorm"]["bias"]),
+    }
+    if "class_embedding" in vp:
+        vsd["class_embedding"] = _np32(vp["class_embedding"])
+    if "pre_layernorm" in vp:
+        vsd["pre_ln.weight"] = _np32(vp["pre_layernorm"]["scale"])
+        vsd["pre_ln.bias"] = _np32(vp["pre_layernorm"]["bias"])
+    L = vp["layers"]
+    for i in range(num_layers):
+        pre = f"blocks.{i}."
+        for src, dst in (
+            ("layer_norm1", "ln1"), ("layer_norm2", "ln2"),
+        ):
+            vsd[pre + dst + ".weight"] = _np32(L[src]["scale"][i])
+            vsd[pre + dst + ".bias"] = _np32(L[src]["bias"][i])
+        for src, dst in (
+            ("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v"),
+            ("out_proj", "out"), ("fc1", "fc1"), ("fc2", "fc2"),
+        ):
+            vsd[pre + dst + ".weight"] = _np32t(L[src]["kernel"][i])
+            vsd[pre + dst + ".bias"] = _np32(L[src]["bias"][i])
+        for opt in ("ls1", "ls2"):
+            if opt in L:
+                vsd[pre + opt] = _np32(L[opt]["scale"][i])
+        for opt in ("q_norm", "k_norm"):
+            if opt in L:
+                vsd[pre + opt + ".weight"] = _np32(L[opt]["scale"][i])
+    return vsd
+
+
 def vision_state_dict(params: Dict[str, Any], cfg: vlm.VLMConfig) -> Dict[str, np.ndarray]:
-    """vila_tpu SigLIP tower pytree → HF SiglipVisionModel state dict."""
+    """Vision tower pytree → HF-consumable state dict.
+
+    SigLIP towers map onto the stock `SiglipVisionModel`; PS3 exports its
+    SigLIP TRUNK the same way (top-down selection stays in vila_tpu —
+    docs/PS3_COMPAT.md); the generic ViT family (CLIP/InternViT/RADIO) maps
+    onto the self-contained VILAGenericViT remote-code module."""
+    if cfg.vision_tower_type in ("clip", "internvit", "radio"):
+        return generic_vit_state_dict(
+            params["vision_tower"], cfg.vision.num_hidden_layers
+        )
     vp = params["vision_tower"]
+    vcfg = cfg.vision
+    if cfg.vision_tower_type == "ps3":
+        vp = vp["vit"]
+        vcfg = cfg.vision.vit
     vsd = {}
     pk = _np32(vp["patch_embedding"]["kernel"])  # (P*P*3, D)
-    p, d = cfg.vision.patch_size, cfg.vision.hidden_size
+    p, d = vcfg.patch_size, vcfg.hidden_size
     vsd["vision_model.embeddings.patch_embedding.weight"] = (
         np.ascontiguousarray(pk.reshape(p, p, 3, d).transpose(3, 2, 0, 1))
     )
@@ -277,7 +330,7 @@ def vision_state_dict(params: Dict[str, Any], cfg: vlm.VLMConfig) -> Dict[str, n
     vsd["vision_model.embeddings.position_embedding.weight"] = _np32(
         vp["position_embedding"]["embedding"]
     )
-    for i in range(cfg.vision.num_hidden_layers):
+    for i in range(vcfg.num_hidden_layers):
         pre = f"vision_model.encoder.layers.{i}."
         L = vp["layers"]
         for ln in ("layer_norm1", "layer_norm2"):

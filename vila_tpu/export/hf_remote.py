@@ -53,31 +53,58 @@ def _llm_config_dict(cfg: vlm.VLMConfig) -> Dict[str, Any]:
 
 
 def _vision_config_dict(cfg: vlm.VLMConfig) -> Dict[str, Any]:
+    """Vision sub-config for the exported repo.
+
+    SigLIP maps onto the stock `SiglipVisionModel`; PS3 exports its SigLIP
+    TRUNK that way (the top-down selection heads stay in vila_tpu —
+    docs/PS3_COMPAT.md); CLIP/InternViT/RADIO map onto the self-contained
+    VILAGenericViT remote-code module (`model_type: "vila_vit"`), since
+    those towers have no stock transformers class
+    (ref: remote_code/modeling_vila.py:506 exports all towers)."""
     vis = cfg.vision
-    if cfg.vision_tower_type not in ("siglip", "clip"):
-        raise NotImplementedError(
-            "HF single-repo export supports SigLIP/CLIP towers; "
-            f"got {cfg.vision_tower_type!r} (use the component layout + "
-            "vila_tpu for PS3/RADIO/InternViT)"
-        )
-    model_type = (
-        "siglip_vision_model"
-        if cfg.vision_tower_type == "siglip"
-        else "clip_vision_model"
-    )
+    if cfg.vision_tower_type in ("clip", "internvit", "radio"):
+        return {
+            "model_type": "vila_vit",
+            "source_tower": cfg.vision_tower_type,
+            "hidden_size": vis.hidden_size,
+            "intermediate_size": vis.intermediate_size,
+            "num_hidden_layers": vis.num_hidden_layers,
+            "num_attention_heads": vis.num_attention_heads,
+            "image_size": vis.image_size,
+            "patch_size": vis.patch_size,
+            "layer_norm_eps": vis.layer_norm_eps,
+            "hidden_act": vis.hidden_act,
+            "class_token": vis.class_token,
+            "pre_layernorm": vis.pre_layernorm,
+            "layer_scale": vis.layer_scale,
+            "qk_norm": vis.qk_norm,
+        }
+    if cfg.vision_tower_type == "ps3":
+        vis = cfg.vision.vit
     return {
-        "model_type": model_type,
+        "model_type": "siglip_vision_model",
         # skip the SigLIP pooling head: features come from hidden_states
-        **({"vision_use_head": False} if model_type == "siglip_vision_model" else {}),
+        "vision_use_head": False,
+        **({"ps3_trunk_only": True}
+           if cfg.vision_tower_type == "ps3" else {}),
         "hidden_size": vis.hidden_size,
         "intermediate_size": vis.intermediate_size,
         "num_hidden_layers": vis.num_hidden_layers,
         "num_attention_heads": vis.num_attention_heads,
-        "image_size": vis.image_size,
+        "image_size": (
+            cfg.vision.s3_scales[0]
+            if cfg.vision_tower_type == "ps3" else vis.image_size
+        ),
         "patch_size": vis.patch_size,
         "layer_norm_eps": vis.layer_norm_eps,
         "attn_implementation": "eager",
     }
+
+
+def _vis_stats(cfg: vlm.VLMConfig):
+    """(image_mean, image_std) — PS3Config keeps them on its trunk."""
+    vis = cfg.vision.vit if cfg.vision_tower_type == "ps3" else cfg.vision
+    return vis.image_mean, vis.image_std
 
 
 def export_hf_repo(
@@ -113,11 +140,16 @@ def export_hf_repo(
         "projector_spec": spec,
         "vision_feature_layer": cfg.vision_feature_layer,
         "vision_select": cfg.vision_select,
-        "tokens_per_image": cfg.tokens_per_image,
+        # PS3 exports trunk-only: the image spends only its low-res tokens
+        "tokens_per_image": (
+            cfg.ps3_tokens_low
+            if cfg.vision_tower_type == "ps3"
+            else cfg.tokens_per_image
+        ),
         "image_token": MEDIA_TOKENS["image"],
         "image_size": cfg.vision.image_size,
-        "image_mean": list(cfg.vision.image_mean),
-        "image_std": list(cfg.vision.image_std),
+        "image_mean": list(_vis_stats(cfg)[0]),
+        "image_std": list(_vis_stats(cfg)[1]),
         "torch_dtype": "bfloat16",
     }
     with open(os.path.join(out_dir, "config.json"), "w") as f:

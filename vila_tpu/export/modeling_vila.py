@@ -118,7 +118,142 @@ def _sub_config(d: dict) -> PretrainedConfig:
     d = dict(d)
     model_type = d.pop("model_type")
     d.pop("architectures", None)
+    d.pop("ps3_trunk_only", None)
     return AutoConfig.for_model(model_type, **d)
+
+
+class _RMSNorm(nn.Module):
+    """Full-width RMS norm (InternViT qk normalization semantics —
+    vila_tpu/models/vit.py:290 normalizes the concatenated head dim)."""
+
+    def __init__(self, dim: int, eps: float):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+        self.eps = eps
+
+    def forward(self, x):
+        var = x.float().pow(2).mean(-1, keepdim=True)
+        return (x.float() * torch.rsqrt(var + self.eps)).to(x.dtype) * self.weight
+
+
+class _ViTBlock(nn.Module):
+    def __init__(self, d, inter, heads, eps, act, layer_scale, qk_norm):
+        super().__init__()
+        self.heads = heads
+        self.ln1 = nn.LayerNorm(d, eps=eps)
+        self.q = nn.Linear(d, d)
+        self.k = nn.Linear(d, d)
+        self.v = nn.Linear(d, d)
+        self.out = nn.Linear(d, d)
+        self.ln2 = nn.LayerNorm(d, eps=eps)
+        self.fc1 = nn.Linear(d, inter)
+        self.fc2 = nn.Linear(inter, d)
+        self.act = act
+        if layer_scale:
+            self.ls1 = nn.Parameter(torch.ones(d) * 0.1)
+            self.ls2 = nn.Parameter(torch.ones(d) * 0.1)
+        if qk_norm:
+            self.q_norm = _RMSNorm(d, eps)
+            self.k_norm = _RMSNorm(d, eps)
+
+    def forward(self, h):
+        b, s, d = h.shape
+        hd = d // self.heads
+        x = self.ln1(h)
+        q, k, v = self.q(x), self.k(x), self.v(x)
+        if hasattr(self, "q_norm"):
+            q, k = self.q_norm(q), self.k_norm(k)
+        q = q.view(b, s, self.heads, hd).transpose(1, 2)
+        k = k.view(b, s, self.heads, hd).transpose(1, 2)
+        v = v.view(b, s, self.heads, hd).transpose(1, 2)
+        a = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+        a = self.out(a.transpose(1, 2).reshape(b, s, d))
+        if hasattr(self, "ls1"):
+            a = a * self.ls1
+        h = h + a
+        x = self.fc2(self.act(self.fc1(self.ln2(h))))
+        if hasattr(self, "ls2"):
+            x = x * self.ls2
+        return h + x
+
+
+class VILAGenericViT(nn.Module):
+    """Self-contained pre-norm ViT covering the CLIP / InternViT / RADIO
+    tower family (vila_tpu/models/vit.py semantics) — these towers have no
+    stock transformers class, so the remote code carries its own."""
+
+    def __init__(self, cfg: dict):
+        super().__init__()
+        d = cfg["hidden_size"]
+        patch = cfg["patch_size"]
+        eps = cfg.get("layer_norm_eps", 1e-5)
+        n_pos = (cfg["image_size"] // patch) ** 2 + (
+            1 if cfg.get("class_token", True) else 0
+        )
+        act_name = cfg.get("hidden_act", "gelu")
+        act = (
+            (lambda x: x * torch.sigmoid(1.702 * x))
+            if act_name == "quick_gelu"
+            else nn.GELU()
+        )
+        self.patch = patch
+        self.patch_embed = nn.Linear(patch * patch * 3, d, bias=False)
+        self.pos_embed = nn.Parameter(torch.zeros(n_pos, d))
+        if cfg.get("class_token", True):
+            self.class_embedding = nn.Parameter(torch.zeros(d))
+        if cfg.get("pre_layernorm", False):
+            self.pre_ln = nn.LayerNorm(d, eps=eps)
+        self.blocks = nn.ModuleList(
+            _ViTBlock(
+                d, cfg["intermediate_size"], cfg["num_attention_heads"],
+                eps, act, cfg.get("layer_scale", False),
+                cfg.get("qk_norm", False),
+            )
+            for _ in range(cfg["num_hidden_layers"])
+        )
+        self.post_ln = nn.LayerNorm(d, eps=eps)
+
+        from types import SimpleNamespace
+
+        self.config = SimpleNamespace(
+            image_size=cfg["image_size"], patch_size=patch,
+            hidden_size=d,
+        )
+
+    def forward(self, pixel_values, output_hidden_states=False, **kw):
+        # (N, 3, H, W) -> (N, tokens, P*P*3) with vit.patchify's
+        # (row, col, channel) flattening order
+        x = pixel_values.permute(0, 2, 3, 1)
+        b, hh, ww, c = x.shape
+        p = self.patch
+        x = x.reshape(b, hh // p, p, ww // p, p, c)
+        x = x.permute(0, 1, 3, 2, 4, 5).reshape(
+            b, (hh // p) * (ww // p), p * p * c
+        )
+        h = self.patch_embed(x.to(self.patch_embed.weight.dtype))
+        if hasattr(self, "class_embedding"):
+            cls = self.class_embedding.expand(b, 1, -1)
+            h = torch.cat([cls, h], dim=1)
+        pos = self.pos_embed
+        if pos.shape[0] != h.shape[1]:  # 1-D linear resize (siglip.py:
+            idx = torch.linspace(0, pos.shape[0] - 1, h.shape[1])
+            lo = idx.floor().long().clamp(0, pos.shape[0] - 1)
+            hi = idx.ceil().long().clamp(0, pos.shape[0] - 1)
+            frac = (idx - lo).unsqueeze(-1).to(pos.dtype)
+            pos = pos[hi] * frac + pos[lo] * (1 - frac)
+        h = h + pos.unsqueeze(0)
+        if hasattr(self, "pre_ln"):
+            h = self.pre_ln(h)
+        hidden_states = [h]
+        for blk in self.blocks:
+            h = blk(h)
+            hidden_states.append(h)
+        from types import SimpleNamespace
+
+        return SimpleNamespace(
+            last_hidden_state=self.post_ln(h),
+            hidden_states=tuple(hidden_states) if output_hidden_states else None,
+        )
 
 
 class VILAForCausalLM(PreTrainedModel):
@@ -131,9 +266,13 @@ class VILAForCausalLM(PreTrainedModel):
         self.llm = AutoModelForCausalLM.from_config(
             _sub_config(config.llm_config)
         )
-        self.vision_tower = AutoModel.from_config(
-            _sub_config(config.vision_config)
-        )
+        if config.vision_config.get("model_type") == "vila_vit":
+            # CLIP/InternViT/RADIO family: no stock transformers class
+            self.vision_tower = VILAGenericViT(config.vision_config)
+        else:
+            self.vision_tower = AutoModel.from_config(
+                _sub_config(config.vision_config)
+            )
         self.mm_projector = VILAProjector(config.projector_spec)
         self.post_init()
 
