@@ -40,8 +40,14 @@ def make_tiny_tokenizer(vocab_size=256):
     return fast
 
 
-def make_tiny_vlm_torch(seed=0, hidden_size=64, intermediate_size=112):
-    """Tiny HF torch components matching a vila_tpu VLMConfig."""
+def make_tiny_vlm_torch(seed=0, hidden_size=64, intermediate_size=112,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, vocab_size=512,
+                        mm_scales=1):
+    """Tiny HF torch components matching a vila_tpu VLMConfig.
+
+    mm_scales > 1 widens the projector input for dynamic-S2 checkpoints
+    (feature channels concatenate across scales)."""
     import torch
     from transformers import (
         Qwen2Config,
@@ -52,12 +58,12 @@ def make_tiny_vlm_torch(seed=0, hidden_size=64, intermediate_size=112):
 
     torch.manual_seed(seed)
     llm_hf = Qwen2Config(
-        vocab_size=512,
+        vocab_size=vocab_size,
         hidden_size=hidden_size,
         intermediate_size=intermediate_size,
-        num_hidden_layers=2,
-        num_attention_heads=4,
-        num_key_value_heads=2,
+        num_hidden_layers=num_hidden_layers,
+        num_attention_heads=num_attention_heads,
+        num_key_value_heads=num_key_value_heads,
         max_position_embeddings=1024,
         rope_theta=10000.0,
         tie_word_embeddings=False,
@@ -81,7 +87,7 @@ def make_tiny_vlm_torch(seed=0, hidden_size=64, intermediate_size=112):
     from vila_tpu.models import projector as projector_lib
 
     proj_cfg = projector_lib.ProjectorConfig(
-        projector_type="mlp_downsample", mm_hidden_size=48,
+        projector_type="mlp_downsample", mm_hidden_size=48 * mm_scales,
         hidden_size=hidden_size,
     )
     from test_projector_parity import build_torch_sequential
@@ -90,8 +96,11 @@ def make_tiny_vlm_torch(seed=0, hidden_size=64, intermediate_size=112):
     return llm, vit, proj, llm_hf, vis_hf, proj_cfg
 
 
-def save_tiny_checkpoint(tmpdir, seed=0, **dims):
-    """Write a component-layout checkpoint directory from tiny torch models."""
+def save_tiny_checkpoint(tmpdir, seed=0, top_overrides=None, **dims):
+    """Write a component-layout checkpoint directory from tiny torch models.
+
+    top_overrides merges into the top-level config.json (e.g. dynamic_s2
+    flags or a TSP video_encoder hydra dict)."""
     import json
     import os
 
@@ -128,16 +137,15 @@ def save_tiny_checkpoint(tmpdir, seed=0, **dims):
     with open(os.path.join(proj_dir, "config.json"), "w") as f:
         json.dump({"mm_projector_type": "mlp_downsample"}, f)
 
+    top = {
+        "model_type": "llava",
+        "image_aspect_ratio": "resize",
+        "num_video_frames": 4,
+        "mm_vision_select_layer": -2,
+        "mm_vision_select_feature": "cls_patch",
+        "mm_hidden_size": proj_cfg.mm_hidden_size,
+    }
+    top.update(top_overrides or {})
     with open(os.path.join(tmpdir, "config.json"), "w") as f:
-        json.dump(
-            {
-                "model_type": "llava",
-                "image_aspect_ratio": "resize",
-                "num_video_frames": 4,
-                "mm_vision_select_layer": -2,
-                "mm_vision_select_feature": "cls_patch",
-                "mm_hidden_size": 48,
-            },
-            f,
-        )
+        json.dump(top, f)
     return llm, vit, proj

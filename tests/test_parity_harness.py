@@ -37,10 +37,9 @@ def test_logits_subcommand_with_w4(ckpt, tmp_path):
     assert rc == 0
     report = json.load(open(out))
     # random tiny weights -> near-uniform logits; fp32 parity must be tight
-    assert report["text_only"]["max_abs"] < 5e-4, report["text_only"]
-    assert report["single_image"]["max_abs"] < 5e-4, report["single_image"]
-    assert report["text_only"]["top1_agreement"] == 1.0
-    assert report["single_image"]["top1_agreement"] == 1.0
+    for name in ("text_only", "single_image", "multi_image"):
+        assert report[name]["max_abs"] < 5e-4, (name, report[name])
+        assert report[name]["top1_agreement"] == 1.0, name
     assert report["greedy"]["match"], report["greedy"]
     # W4 on random weights: finite delta reported, transcript produced
     assert "max_abs" in report["w4_vs_bf16"]
@@ -64,6 +63,7 @@ def test_golden_roundtrip(ckpt, tmp_path):
     assert rc == 0
     report = json.load(open(out))
     assert report["single_image"]["top1_agreement"] == 1.0
+    assert report["multi_image"]["top1_agreement"] == 1.0
     assert report["greedy_match_vs_golden"]
 
 
@@ -73,7 +73,7 @@ def test_check_fails_on_corrupt_golden(ckpt, tmp_path):
         ["gen-golden", "--ckpt", ckpt, "--out", golden, "--max-new", "2"]
     )
     fix = dict(np.load(golden))
-    fix["img_logits"] = fix["img_logits"] + 1.0  # corrupt
+    fix["single_image__logits"] = fix["single_image__logits"] + 1.0  # corrupt
     np.savez_compressed(golden, **fix)
     rc = parity_vs_hf.main(
         [

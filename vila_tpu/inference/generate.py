@@ -471,13 +471,34 @@ class GenerationEngine:
                     {"kind": "s2", "tiles": tiles, "block_size": block_size}
                 )
                 return MEDIA_TOKENS["image"]
+            if aspect == "dynamic_s2":
+                # multi-image/video under dynamic-S2: tiling is disabled
+                # (llava_arch.py:856-880) but the TOWER is still
+                # multi-scale (VisionTowerDynamicS2 multiscale_forward
+                # runs on the resized image) — a plain 1-scale encode
+                # would feed the projector half its input channels.
+                # Encode as a 1x1-block S2 entry: same math.
+                from vila_tpu.models import s2 as s2_lib
+
+                tiles, block_size = preprocess.process_image(
+                    img,
+                    image_size=cfg.vision.image_size,
+                    image_aspect_ratio="dynamic_s2",
+                    max_tiles=1,
+                    s2_scales=cfg.s2_scales,
+                )
+                tokens_per_marker.append(
+                    s2_lib.tokens_for_block_size(cfg, block_size)
+                )
+                entries.append(
+                    {"kind": "s2", "tiles": tiles, "block_size": block_size}
+                )
+                return MEDIA_TOKENS["image"]
             tiles, _ = preprocess.process_image(
                 img,
                 image_size=cfg.vision.image_size,
                 image_aspect_ratio=(
-                    "resize"
-                    if aspect in ("dynamic", "dynamic_s2", None)
-                    else aspect
+                    "resize" if aspect in ("dynamic", None) else aspect
                 ),
             )
             tokens_per_marker.append(cfg.tokens_per_image)
