@@ -1,0 +1,297 @@
+"""Train the tiny quantization-accuracy probe model on the pope-mini
+fixture and save it (entry.save component layout).
+
+Purpose: quantized-accuracy measurement (VERDICT r3 #2) needs a model
+whose task accuracy is high enough that W4 degradation is visible.
+Real NVILA weights are unreachable in this environment, so we train a
+tiny VLM to genuine competence on the committed pope-mini fixture
+(color/shape presence QA with real ground truth), then measure bf16 vs
+W4-RTN vs W4-AWQ accuracy with scripts/quant_acc.py.
+
+Shapes are chosen to satisfy the W4 kernel constraints (every linear's
+din % 256 == 0; vocab a 128-multiple so lm_head blocks are lane-aligned).
+
+Run: JAX_PLATFORMS=cpu python data_prepare/train_quant_probe.py \
+        [--steps 600] [--out vila_tpu/eval/fixtures/quant_probe]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def build_cfg():
+    from vila_tpu.models import projector, qwen2, siglip, vlm
+
+    return vlm.VLMConfig(
+        llm=qwen2.LLMConfig(
+            vocab_size=512, hidden_size=256, intermediate_size=512,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, rope_theta=1e4,
+            tie_word_embeddings=False,
+        ),
+        vision=siglip.SigLIPConfig(
+            hidden_size=96, intermediate_size=192, num_hidden_layers=4,
+            num_attention_heads=4, image_size=168, patch_size=14,
+        ),
+        projector=projector.ProjectorConfig(
+            projector_type="mlp_downsample", mm_hidden_size=96,
+            hidden_size=256,
+        ),
+    )
+
+
+def make_word_tokenizer(texts):
+    """Byte-level BPE whose merges make every word in `texts` (and the
+    ChatML role names) a single token — a 2-layer probe LLM cannot bind
+    characters into color/shape words, so word-level tokens are what
+    makes the fixture task learnable at this scale. Ġ-prefixed chains are
+    added first so their (Ġ, c) merges outrank bare-word (c, d) merges
+    (see bench._tiny_tokenizer)."""
+    import re
+
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    words = set()
+    for t in texts:
+        for w in re.findall(r"[A-Za-z]+", t):
+            words.add("Ġ" + w)
+            words.add(w)
+    words.update({"user", "assistant", "system", "yes", "no",
+                  "Ġyes", "Ġno"})
+
+    alphabet = pre_tokenizers.ByteLevel.alphabet()
+    vocab = {ch: i for i, ch in enumerate(sorted(alphabet))}
+    merges = []
+    seen = set()
+    for word in sorted(words, key=lambda w: (not w.startswith("Ġ"), w)):
+        for i in range(2, len(word) + 1):
+            pair = (word[: i - 1], word[i - 1])
+            if pair not in seen:
+                seen.add(pair)
+                merges.append(pair)
+            if word[:i] not in vocab:
+                vocab[word[:i]] = len(vocab)
+    for s in ("<|endoftext|>", "<|im_start|>", "<|im_end|>"):
+        vocab[s] = len(vocab)
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=merges))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        eos_token="<|im_end|>",
+        pad_token="<|endoftext|>",
+        additional_special_tokens=["<|im_start|>"],
+    )
+    fast.chat_template = (
+        "{% for message in messages %}"
+        "{{ '<|im_start|>' + message['role'] + '\n' + message['content'] "
+        "+ '<|im_end|>' + '\n' }}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}"
+        "{% endif %}"
+    )
+    fast.model_max_length = 4096
+    return fast
+
+
+def load_fixture(fixture_dir):
+    rows = []
+    with open(os.path.join(fixture_dir, "pope.jsonl")) as f:
+        for line in f:
+            rows.append(json.loads(line))
+    return rows
+
+
+def make_examples(rows, tok, cfg, fixture_dir, seq_len=160):
+    """Tokenized supervised examples: question + yes/no answer."""
+    from PIL import Image
+
+    from vila_tpu.constants import IGNORE_INDEX, MEDIA_TOKENS
+    from vila_tpu.data import preprocess
+    from vila_tpu.data.tokenizer_utils import preprocess_conversation
+
+    tpi = cfg.tokens_per_image
+    marker_id = tok.media_token_ids["image"]
+    nl_ids = tok("\n", add_special_tokens=False).input_ids
+
+    exs = []
+    for r in rows:
+        # EXACTLY the token stream eval produces: engine.prepare_inputs
+        # concatenates marker+question (the newline after the image comes
+        # from marker expansion's end ids), and _eval_pope appends the
+        # yes/no instruction (eval/benchmarks.py:178).
+        conv = [
+            {"from": "human",
+             "value": (MEDIA_TOKENS["image"] + r["question"]
+                       + "\nAnswer the question with yes or no.")},
+            {"from": "gpt", "value": r["answer"]},
+        ]
+        d = preprocess_conversation(conv, tok)
+        ids, labels = d["input_ids"], d["labels"]
+        # expand the media marker into tpi placeholders (+ newline end id)
+        out_ids, out_lab, mpos = [], [], []
+        for t, l in zip(ids.tolist(), labels.tolist()):
+            if t == marker_id:
+                mpos = list(range(len(out_ids), len(out_ids) + tpi))
+                out_ids.extend([marker_id] * tpi)
+                out_lab.extend([IGNORE_INDEX] * tpi)
+                out_ids.extend(nl_ids)
+                out_lab.extend([IGNORE_INDEX] * len(nl_ids))
+            else:
+                out_ids.append(t)
+                out_lab.append(l)
+        n = len(out_ids)
+        assert n <= seq_len, (n, seq_len)
+        pad = seq_len - n
+        img = Image.open(os.path.join(fixture_dir, r["image"]))
+        tiles, _ = preprocess.process_image(
+            img, image_size=cfg.vision.image_size,
+            image_aspect_ratio="resize",
+        )
+        exs.append({
+            "input_ids": np.asarray(out_ids + [0] * pad, np.int32),
+            "labels": np.asarray(out_lab + [IGNORE_INDEX] * pad, np.int32),
+            "segment_ids": np.asarray([1] * n + [0] * pad, np.int32),
+            "pixel_values": tiles[0],
+            "media_pos": np.asarray(mpos, np.int32),
+        })
+    return exs
+
+
+def batchify(exs, idx, tpi):
+    b = len(idx)
+    s = exs[0]["input_ids"].shape[0]
+    batch = {
+        "input_ids": np.stack([exs[i]["input_ids"] for i in idx]),
+        "labels": np.stack([exs[i]["labels"] for i in idx]),
+        "positions": np.broadcast_to(
+            np.arange(s, dtype=np.int32), (b, s)).copy(),
+        "segment_ids": np.stack([exs[i]["segment_ids"] for i in idx]),
+        "pixel_values": np.stack(
+            [exs[i]["pixel_values"][None] for i in idx]),
+        "media_positions": np.stack([exs[i]["media_pos"] for i in idx]),
+    }
+    return batch
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument(
+        "--out", default=os.path.join(
+            os.path.dirname(__file__), "..",
+            "vila_tpu", "eval", "fixtures", "quant_probe"),
+    )
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vila_tpu import entry
+    from vila_tpu.data.tokenizer_utils import add_media_tokens
+    from vila_tpu.models import vlm
+    from vila_tpu.train.step import loss_fn
+
+    cfg = build_cfg()
+
+    fixture_dir = os.path.join(
+        os.path.dirname(__file__), "..", "vila_tpu", "eval",
+        "fixtures", "mini")
+    rows = load_fixture(fixture_dir)
+    tok = make_word_tokenizer(
+        [r["question"] for r in rows]
+        + ["Answer the question with yes or no."]
+    )
+    add_media_tokens(tok)
+    assert len(tok) <= cfg.llm.vocab_size, len(tok)
+    exs = make_examples(rows, tok, cfg, fixture_dir)
+    print(f"{len(exs)} training examples, seq {exs[0]['input_ids'].shape[0]}")
+
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=50, decay_steps=args.steps,
+        end_value=args.lr * 0.05,
+    )
+    opt = optax.adamw(sched, weight_decay=0.0)
+    opt_state = opt.init(params)
+
+    # full dataset staged ON DEVICE once; steps gather by index so the
+    # per-step host->device transfer is 16 ints (matters on a
+    # remote-attached TPU where each MB of upload costs ~25 ms)
+    data = {
+        k: jnp.asarray(np.stack([e[k2] for e in exs]))
+        for k, k2 in (
+            ("input_ids", "input_ids"), ("labels", "labels"),
+            ("segment_ids", "segment_ids"),
+            ("pixel_values", "pixel_values"), ("media_positions", "media_pos"),
+        )
+    }
+    seq = exs[0]["input_ids"].shape[0]
+
+    @jax.jit
+    def step(params, opt_state, idx, data):
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        batch["pixel_values"] = batch["pixel_values"][:, None]
+        batch["positions"] = jnp.broadcast_to(
+            jnp.arange(seq, dtype=jnp.int32), (idx.shape[0], seq))
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, cfg, batch), has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # train-set answer accuracy: argmax at the first answer-token position
+    from vila_tpu.constants import IGNORE_INDEX
+
+    @jax.jit
+    def batch_logits(params, batch):
+        return vlm.forward_batch(params, cfg, batch)
+
+    def answer_accuracy(params):
+        correct, total = 0, 0
+        for lo in range(0, n, 25):
+            idx = list(range(lo, min(lo + 25, n)))
+            batch = {
+                k: jnp.asarray(v)
+                for k, v in batchify(exs, idx, cfg.tokens_per_image).items()
+            }
+            logits = np.asarray(batch_logits(params, batch))
+            labels = np.asarray(batch["labels"])
+            for b in range(len(idx)):
+                pos = np.nonzero(labels[b] != IGNORE_INDEX)[0]
+                p0 = pos[0]
+                # next-token prediction: logits at p0-1 predict token p0
+                correct += int(np.argmax(logits[b, p0 - 1]) == labels[b, p0])
+                total += 1
+        return correct / total
+
+    rng = np.random.default_rng(0)
+    n = len(exs)
+    for it in range(args.steps):
+        idx = jnp.asarray(
+            rng.choice(n, size=args.batch, replace=False).astype(np.int32))
+        params, opt_state, loss = step(params, opt_state, idx, data)
+        if it % 200 == 0 or it == args.steps - 1:
+            acc = answer_accuracy(params)
+            print(f"step {it}: loss {float(loss):.4f} "
+                  f"answer-acc {acc:.3f}", flush=True)
+
+    out_dir = os.path.abspath(args.out)
+    entry.save(params, cfg, tok, out_dir)
+    print("saved ->", out_dir)
+
+
+if __name__ == "__main__":
+    main()
