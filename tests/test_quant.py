@@ -329,3 +329,79 @@ def test_quantize_vit_w8a8_features_close():
         np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1) + 1e-9
     )
     assert float(cos.min()) > 0.995, float(cos.min())
+
+
+@pytest.mark.slow
+def test_batched_mega_decode_matches_per_op_path(monkeypatch):
+    """The batched megakernel (fused_decode.fused_layer_batched: per-slot
+    attention + all four weight streams in one kernel, rows = batch slots)
+    reproduces the per-op path at b=3, including a per-slot-fill cache with
+    uneven cursors (the continuous-batching decode step)."""
+    from vila_tpu.models import qwen2
+
+    cfg = qwen2.LLMConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        dtype="float32", tie_word_embeddings=True,
+    )
+    params = qwen2.init_params(jax.random.PRNGKey(5), cfg)
+    qparams = quant.quantize_llm_params(params, group_size=128, fuse=True,
+                                        cfg=cfg)
+    o_din = 2 * qparams["layers"]["o_proj"]["packed"].shape[-2]
+    assert o_din == cfg.num_key_value_heads * 8 * cfg.head_dim_
+
+    rng = np.random.default_rng(5)
+    B = 3
+    prompt = jnp.asarray(rng.integers(0, 128, (B, 5)), jnp.int32)
+
+    def decode(n_steps, per_slot):
+        cache = qwen2.init_cache(cfg, batch=B, max_len=32,
+                                 per_slot_fill=per_slot)
+        if per_slot:
+            # uneven prefill: prefill each row separately then merge so the
+            # fill cursors differ per slot
+            caches = []
+            for i in range(B):
+                c1 = qwen2.init_cache(cfg, batch=1, max_len=32)
+                n = 3 + i
+                lg, c1 = qwen2.forward(
+                    qparams, cfg, input_ids=prompt[i:i + 1, :n], cache=c1
+                )
+                caches.append((c1, lg))
+            cache = {
+                "k": jnp.concatenate([c["k"] for c, _ in caches], axis=1),
+                "v": jnp.concatenate([c["v"] for c, _ in caches], axis=1),
+                "valid": jnp.concatenate(
+                    [c["valid"] for c, _ in caches], axis=0),
+                "fill": jnp.asarray([3 + i for i in range(B)], jnp.int32),
+            }
+            logits = jnp.concatenate([lg[:, -1] for _, lg in caches])
+        else:
+            logits, cache = qwen2.forward(
+                qparams, cfg, input_ids=prompt, cache=cache
+            )
+            logits = logits[:, -1]
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        toks, outs = [np.asarray(tok)], []
+        for i in range(n_steps):
+            f = cache["fill"]
+            pos = (f[:, None] if f.ndim else
+                   jnp.full((B, 1), prompt.shape[1] + i, jnp.int32))
+            logits, cache = qwen2.forward(
+                qparams, cfg, input_ids=tok[:, None],
+                positions=None if f.ndim else pos, cache=cache,
+            )
+            outs.append(np.asarray(logits[:, 0]))
+            tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            toks.append(np.asarray(tok))
+        return np.stack(toks), np.stack(outs)
+
+    for per_slot in (False, True):
+        monkeypatch.setenv("VILA_TPU_NO_MEGA_BATCHED", "1")
+        toks_ref, logits_ref = decode(4, per_slot)
+        monkeypatch.delenv("VILA_TPU_NO_MEGA_BATCHED")
+        toks_mega, logits_mega = decode(4, per_slot)
+        np.testing.assert_array_equal(toks_ref, toks_mega)
+        np.testing.assert_allclose(
+            logits_ref, logits_mega, atol=3e-2, rtol=0.05
+        )

@@ -544,6 +544,17 @@ def forward(
         and (cfg.head_dim_ % 128 == 0 or jax.default_backend() != "tpu")
         and not os.environ.get("VILA_TPU_NO_MEGA_DECODE")
     )
+    # Batched megakernel (fused_decode.fused_layer_batched): whole layer in
+    # one Pallas call for 1 < bs <= 8 — the continuous-batching decode step.
+    use_mega_b = (
+        use_fused
+        and 1 < b <= 8
+        and padded_o
+        and grp_pad == 8
+        and (cfg.head_dim_ % 128 == 0 or jax.default_backend() != "tpu")
+        and not os.environ.get("VILA_TPU_NO_MEGA_DECODE")
+        and not os.environ.get("VILA_TPU_NO_MEGA_BATCHED")
+    )
 
     def _pad_attn(attn):
         """(b, s, nq) -> (b, s, o_din): zero lanes for the GQA group pad
@@ -600,6 +611,60 @@ def forward(
         )
         return (h8, qkv8.astype(jnp.bfloat16), ck_all, cv_all), None
 
+    def mega_b_layer_fn(carry, l):
+        from vila_tpu.ops import fused_decode
+
+        hb, qkvb, ck_all, cv_all = carry  # hb (b, D), qkvb (b, dqkv)
+        qkv = qkvb[:, None, :].astype(dtype)  # (b, 1, dqkv)
+        q = qkv[..., :nq].reshape(b, 1, cfg.num_attention_heads,
+                                  cfg.head_dim_)
+        k = qkv[..., nq: nq + nkv].reshape(b, 1, cfg.num_key_value_heads,
+                                           cfg.head_dim_)
+        v = qkv[..., nq + nkv:].reshape(b, 1, cfg.num_key_value_heads,
+                                        cfg.head_dim_)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kf = k.reshape(b, 1, -1)
+        vf = v.reshape(b, 1, -1)
+        fill = cache["fill"]
+        if write_rows is not None:  # per-slot fill (continuous batching)
+            rr = jnp.broadcast_to(jnp.arange(b)[:, None], (b, 1))
+            l_idx = jnp.broadcast_to(l, (b, 1))
+            ck_all = ck_all.at[l_idx, rr, write_rows].set(
+                kf.astype(ck_all.dtype), mode="drop"
+            )
+            cv_all = cv_all.at[l_idx, rr, write_rows].set(
+                vf.astype(cv_all.dtype), mode="drop"
+            )
+            last_written = write_rows[:, 0]
+        else:
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, kf.astype(ck_all.dtype)[None], (l, 0, fill, 0)
+            )
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, vf.astype(cv_all.dtype)[None], (l, 0, fill, 0)
+            )
+            last_written = fill
+        scale = cfg.head_dim_ ** -0.5
+        q32 = (q[:, 0].astype(jnp.float32) * scale).reshape(
+            b, cfg.num_key_value_heads, grp, cfg.head_dim_
+        )
+        q32 = jnp.pad(
+            q32, ((0, 0), (0, 0), (0, grp_pad - grp), (0, 0))
+        ).reshape(b, cfg.num_key_value_heads * grp_pad, cfg.head_dim_)
+        hb, qkvb = fused_decode.fused_layer_batched(
+            q32.astype(jnp.bfloat16), mega_mask_b, hb, l,
+            ck_all, cv_all,
+            q_stacked["o_proj"], q_stacked["gate_up_proj"],
+            q_stacked["down_proj"], q_stacked["qkv_proj"],
+            all_layers["post_attention_layernorm"]["scale"],
+            all_layers["input_layernorm"]["scale"],
+            hkv=cfg.num_key_value_heads, hd=cfg.head_dim_,
+            eps=cfg.rms_norm_eps,
+            fill=last_written,  # per-row live-prefix KV streaming
+        )
+        return (hb, qkvb.astype(jnp.bfloat16), ck_all, cv_all), None
+
     body = layer_fn
     if cfg.remat:
         body = jax.checkpoint(
@@ -635,6 +700,20 @@ def forward(
                 mega_layer_fn, carry0, layer_ids
             )
             h = h8[0:1].reshape(1, 1, d_model).astype(dtype)
+        elif use_mega_b:
+            mega_mask_b = jnp.where(
+                new_valid, 0.0, -1e30
+            ).astype(jnp.float32)  # (b, S)
+            d_model = h.shape[-1]
+            carry0 = (
+                h.reshape(b, d_model),
+                qkv0.reshape(b, -1).astype(jnp.bfloat16),
+                cache["k"], cache["v"],
+            )
+            (hb, _, new_k, new_v), _ = jax.lax.scan(
+                mega_b_layer_fn, carry0, layer_ids
+            )
+            h = hb.reshape(b, 1, d_model).astype(dtype)
         else:
             carry0 = (
                 h, qkv0.reshape(b * s, -1).astype(jnp.bfloat16),
