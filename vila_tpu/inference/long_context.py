@@ -54,6 +54,7 @@ class LongContextEngine:
         max_cache_len: int,
         prefill_chunk: int = 4096,
         seq_axes: Optional[Sequence[str]] = None,
+        param_specs: Optional[Dict[str, Any]] = None,
     ) -> None:
         self.params = params
         self.cfg = llm_cfg
@@ -75,6 +76,17 @@ class LongContextEngine:
             "fill": NamedSharding(mesh, P()),
         }
         self._rep = NamedSharding(mesh, P())
+        # Replicated params cap the model at (HBM - KV) per chip; at 8B/1M
+        # the 16GB of bf16 weights alone exceed a v5e chip. FSDP-style
+        # param_specs (parallel/mesh.py:llm_param_specs) shard the weights
+        # over the same mesh; GSPMD all-gathers each layer's slice on use.
+        if param_specs is None:
+            self._param_sharding = self._rep
+        else:
+            self._param_sharding = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), param_specs,
+                is_leaf=lambda x: isinstance(x, P),
+            )
 
     def init_cache(self):
         with self.mesh:
@@ -167,7 +179,7 @@ class LongContextEngine:
             step,
             donate_argnums=(4,),
             in_shardings=(
-                self._rep, self._rep, self._rep, self._rep,
+                self._param_sharding, self._rep, self._rep, self._rep,
                 self._cache_shardings,
             ),
             out_shardings=(self._rep, self._cache_shardings),
@@ -200,7 +212,8 @@ class LongContextEngine:
             static_argnums=(4,),
             donate_argnums=(3,),
             in_shardings=(
-                self._rep, self._rep, self._rep, self._cache_shardings,
+                self._param_sharding, self._rep, self._rep,
+                self._cache_shardings,
             ),
             out_shardings=(
                 self._rep, self._rep, self._cache_shardings, self._rep
