@@ -1,0 +1,229 @@
+"""RLHF trainers (train/rlhf.py): reward modeling, GAE math, PPO updates.
+
+Capability parity checks for the reference's vendored TRL surface beyond
+DPO (llava/trl/trainer/{reward_trainer,ppo_trainer,sft_trainer}.py).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vila_tpu.data.collate import Collator
+from vila_tpu.models import projector, qwen2, siglip, vlm
+from vila_tpu.train import rlhf
+from vila_tpu.train.rlhf import (
+    PPOConfig,
+    RewardConfig,
+    compute_gae,
+    init_value_head,
+    make_experience,
+    ppo_loss,
+    ppo_step_fn,
+    reward_loss,
+    reward_step_fn,
+)
+
+
+def tiny_cfg():
+    llm = qwen2.LLMConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        dtype="float32",
+    )
+    vis = siglip.SigLIPConfig(
+        hidden_size=24, intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+    )
+    proj = projector.ProjectorConfig(
+        projector_type="mlp_downsample", mm_hidden_size=24, hidden_size=32
+    )
+    return vlm.VLMConfig(llm=llm, vision=vis, projector=proj)
+
+
+def _example(seed, *, first_token=None, length=12):
+    r = np.random.default_rng(seed)
+    ids = r.integers(2, 64, length).astype(np.int32)
+    if first_token is not None:
+        ids[0] = first_token
+    return {
+        "input_ids": ids,
+        "labels": ids.copy(),
+        "tiles": np.zeros((0, 28, 28, 3), np.uint8),
+        "media_positions": np.zeros((0,), np.int32),
+    }
+
+
+def _pair_batch(n=4, length=12):
+    coll = Collator(seq_len=length, tile_size=28)
+    # chosen rows start with token 7, rejected with token 9 — a separable
+    # signal the reward head must learn
+    chosen = coll([_example(i, first_token=7, length=length)
+                   for i in range(n)])
+    rejected = coll([_example(100 + i, first_token=9, length=length)
+                     for i in range(n)])
+    return {"chosen": chosen, "rejected": rejected}
+
+
+def test_gae_matches_naive_loop():
+    rng = np.random.default_rng(0)
+    B, T = 3, 7
+    rewards = rng.normal(size=(B, T)).astype(np.float32)
+    values = rng.normal(size=(B, T)).astype(np.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[1, 5:] = 0.0
+    gamma, lam = 0.98, 0.9
+
+    adv, ret = compute_gae(
+        jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(mask),
+        gamma, lam,
+    )
+
+    # naive reversed python loop (trl ppo_trainer.compute_advantages)
+    adv_ref = np.zeros((B, T), np.float32)
+    for b in range(B):
+        last = 0.0
+        next_v = 0.0
+        for t in reversed(range(T)):
+            delta = rewards[b, t] + gamma * next_v * mask[b, t] - values[b, t]
+            last = delta + gamma * lam * last * mask[b, t]
+            adv_ref[b, t] = last
+            next_v = values[b, t]
+    adv_ref *= mask
+    np.testing.assert_allclose(np.asarray(adv), adv_ref, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ret), adv_ref + values * 1.0, atol=1e-5
+    )
+
+
+def test_reward_loss_matches_manual():
+    rc = jnp.asarray([1.0, -0.5])
+    rr = jnp.asarray([0.0, 0.5])
+    loss, metrics = reward_loss(rc, rr, RewardConfig())
+    expect = -np.mean(np.log(1 / (1 + np.exp(-(np.array([1.0, -1.0]))))))
+    np.testing.assert_allclose(float(loss), expect, rtol=1e-6)
+    assert float(metrics["reward_accuracy"]) == 0.5
+
+
+@pytest.mark.slow
+def test_reward_training_learns_preference():
+    cfg = tiny_cfg()
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    head = init_value_head(jax.random.PRNGKey(1), cfg.llm.hidden_size)
+    batch = _pair_batch()
+
+    rcfg = RewardConfig()
+    optimizer = optax.adam(5e-3)
+    opt_state = optimizer.init((params, head))
+    step = jax.jit(
+        lambda p, h, s: reward_step_fn(
+            p, h, batch, cfg=cfg, rcfg=rcfg, optimizer=optimizer,
+            opt_state=s,
+        )
+    )
+    first = None
+    for i in range(30):
+        params, head, opt_state, metrics = step(params, head, opt_state)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert last < first, (first, last)
+    assert float(metrics["reward_accuracy"]) == 1.0
+
+
+@pytest.mark.slow
+def test_ppo_step_increases_rewarded_logp():
+    cfg = tiny_cfg()
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    ref_params = jax.tree.map(lambda x: x, params)
+    head = init_value_head(jax.random.PRNGKey(1), cfg.llm.hidden_size)
+
+    coll = Collator(seq_len=12, tile_size=28)
+    batch = coll([_example(i, length=12) for i in range(4)])
+    S = batch["input_ids"].shape[1]
+    # last 6 next-token positions are "response"
+    response_mask = np.zeros((4, S - 1), np.float32)
+    response_mask[:, -6:] = 1.0
+    response_mask = jnp.asarray(response_mask)
+    # rows 0/1 rewarded, rows 2/3 penalized
+    scores = jnp.asarray([1.0, 1.0, -1.0, -1.0], jnp.float32)
+
+    pcfg = PPOConfig(kl_coef=0.0, whiten_advantages=False)
+    exp = make_experience(
+        params, ref_params, head, batch, response_mask, scores,
+        cfg=cfg, pcfg=pcfg,
+    )
+    # at kl_coef=0 the only reward is the terminal score; a fresh value
+    # head is ~0, so advantages on rewarded rows are positive
+    adv = np.asarray(exp["advantages"])
+    assert (adv[:2] * np.asarray(response_mask[:2])).sum() > 0
+    assert (adv[2:] * np.asarray(response_mask[2:])).sum() < 0
+
+    logp0, _ = rlhf.token_logp(params, cfg, batch)
+    lp0 = np.asarray((logp0 * response_mask).sum(-1))
+
+    optimizer = optax.adam(3e-3)
+    opt_state = optimizer.init((params, head))
+    step = jax.jit(
+        lambda p, h, s: ppo_step_fn(
+            p, h, batch, response_mask, exp, cfg=cfg, pcfg=pcfg,
+            optimizer=optimizer, opt_state=s,
+        )
+    )
+    for _ in range(10):
+        params, head, opt_state, metrics = step(params, head, opt_state)
+
+    logp1, _ = rlhf.token_logp(params, cfg, batch)
+    lp1 = np.asarray((logp1 * response_mask).sum(-1))
+    # rewarded responses gain probability relative to penalized ones
+    assert (lp1[:2] - lp0[:2]).mean() > (lp1[2:] - lp0[2:]).mean()
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["vf_loss"]) >= 0.0
+
+
+def test_ppo_loss_zero_at_init_ratio():
+    """With new logp == old logp the ratio is 1 and pg_loss reduces to
+    -mean(advantage); clipping is inactive (clipfrac 0)."""
+    B, T = 2, 5
+    rng = np.random.default_rng(0)
+    logp = jnp.asarray(rng.normal(size=(B, T)).astype(np.float32))
+    adv = jnp.asarray(rng.normal(size=(B, T)).astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(B, T)).astype(np.float32))
+    mask = jnp.ones((B, T), jnp.float32)
+    exp = {"old_logp": logp, "advantages": adv, "values": vals,
+           "returns": vals}
+    pcfg = PPOConfig()
+    loss, metrics = ppo_loss(logp, vals, exp, mask, pcfg)
+    np.testing.assert_allclose(
+        float(metrics["pg_loss"]), float(-adv.mean()), rtol=1e-5
+    )
+    assert float(metrics["clipfrac"]) == 0.0
+    assert float(metrics["vf_loss"]) == 0.0
+
+
+@pytest.mark.slow
+def test_sft_step_decreases_loss():
+    cfg = tiny_cfg()
+    params = vlm.init_params(jax.random.PRNGKey(0), cfg)
+    coll = Collator(seq_len=12, tile_size=28)
+    batch = coll([_example(i, length=12) for i in range(4)])
+    optimizer = optax.adam(5e-3)
+    opt_state = optimizer.init(params)
+    step = jax.jit(
+        lambda p, s: rlhf.sft_step_fn(
+            p, batch, cfg=cfg, optimizer=optimizer, opt_state=s,
+            chunk_size=8,
+        )
+    )
+    losses = []
+    for _ in range(8):
+        params, opt_state, m = step(params, opt_state)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
