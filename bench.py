@@ -376,6 +376,50 @@ def main():
     )
     decode_tps8 = bs8 / step8
     progress(f"decode bs=8: {decode_tps8:.1f} tok/s/chip")
+    cache8 = None  # free 2.1 GB before allocating the 4.2 GB bs=16 cache
+
+    # bs=16: upper serving operating point of the batched megakernel
+    # (fused_decode.fused_layer_batched, 16 kernel rows)
+    bs16 = 16
+    cache16 = qwen2.init_cache(llm_cfg, batch=bs16, max_len=cache_len)
+    cache16 = {
+        "k": cache16["k"],
+        "v": cache16["v"],
+        "valid": cache16["valid"].at[:, :ctx].set(True),
+        "fill": jnp.asarray(ctx, jnp.int32),
+    }
+
+    @partial(jax.jit, static_argnames="n")
+    def decode_run16(n, params, cache):
+        def body(carry, _):
+            tok, cache, pos = carry
+            logits, cache = qwen2.forward(
+                params, llm_cfg,
+                input_ids=tok[:, None],
+                positions=pos[:, None],
+                cache=cache,
+            )
+            nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            return (nxt, cache, pos + 1), None
+
+        (tok, cache, _), _ = jax.lax.scan(
+            body,
+            (
+                jnp.zeros((bs16,), jnp.int32),
+                cache,
+                jnp.full((bs16,), ctx, jnp.int32),
+            ),
+            None,
+            length=n,
+        )
+        return tok.sum()
+
+    step16 = diff_time(
+        lambda n, p, c: decode_run16(n, p, c), 1, 65, params["llm"], cache16
+    )
+    decode_tps16 = bs16 / step16
+    progress(f"decode bs=16: {decode_tps16:.1f} tok/s/chip")
+    cache16 = None
 
     # ---------------- video-context decode (64-frame prompt) ----------------
     # NVILA-Video-8B-TinyChat decodes at 151.8 tok/s on A100 (README.md:70)
@@ -631,6 +675,7 @@ def main():
         "ttft_ms": round(ttft * 1000, 2),
         "ttft_vs_baseline_ms": 45.2,
         "batched_bs8_tok_s_chip": round(decode_tps8, 1),
+        "batched_bs16_tok_s_chip": round(decode_tps16, 1),
         "video_ctx_tok_s": round(decode_tps_v, 2),
         "video_ctx_vs_baseline": round(decode_tps_v / 151.8, 4),
         "engine_ttft_ms": (

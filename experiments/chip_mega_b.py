@@ -30,7 +30,8 @@ def main():
     params, cfg = bench.build_8b_quantized()
     llm = cfg.llm
     qp = params["llm"]
-    B, MAXLEN, PLEN = 8, 2048, 128
+    B = int(os.environ.get("MEGA_B_BATCH", "8"))
+    MAXLEN, PLEN = 2048, 128
 
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(

@@ -545,10 +545,10 @@ def forward(
         and not os.environ.get("VILA_TPU_NO_MEGA_DECODE")
     )
     # Batched megakernel (fused_decode.fused_layer_batched): whole layer in
-    # one Pallas call for 1 < bs <= 8 — the continuous-batching decode step.
+    # one Pallas call for 1 < bs <= 16 — the continuous-batching decode step.
     use_mega_b = (
         use_fused
-        and 1 < b <= 8
+        and 1 < b <= 16
         and padded_o
         and grp_pad == 8
         and (cfg.head_dim_ % 128 == 0 or jax.default_backend() != "tpu")

@@ -906,7 +906,7 @@ def fused_layer(
             _fused_layer_kernel,
             mo=mo, mg=mg, md=md, mq=mq,
             n_bo=n_bo, n_bg=n_bg, n_bd=n_bd, n_bq=n_bq,
-            eps=eps, hkv=hkv, hd=hd, kv_blk=kv_blk,
+            eps=eps, hkv=hkv, hd=hd, kv_blk=kv_blk, n_rows=B,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -957,12 +957,12 @@ def fused_layer(
 
 
 # ---------------------------------------------------------------------------
-# Batched megakernel: whole layer in ONE kernel for 1 < bs <= 8
+# Batched megakernel: whole layer in ONE kernel for 1 < bs <= 16
 # ---------------------------------------------------------------------------
 #
 # The bs=1 megakernel spreads GQA head outputs across the 8 matmul rows
 # (block-diagonal + row-sum) because a single token leaves the MXU rows
-# empty. At bs<=8 the batch fills the rows instead: every weight stream
+# empty. At bs<=16 the batch fills the rows instead: every weight stream
 # runs with rows == batch slots and no spread/row-sum is needed — the
 # batched kernel is *simpler* in the matmul stages. Attention is the part
 # that grows: each slot has its own KV cache, so KV streams per-slot
@@ -991,7 +991,7 @@ def _fused_layer_b_kernel(
     h_out,  # (8, D) bf16
     qkv_out,  # (8, dqkv) bf16
     *,
-    mo, mg, md, mq, n_bo, n_bg, n_bd, n_bq, eps, hkv, hd, kv_blk,
+    mo, mg, md, mq, n_bo, n_bg, n_bd, n_bq, eps, hkv, hd, kv_blk, n_rows,
 ):
     l = l_ref[0]
     l_next = l_ref[1]
@@ -1003,7 +1003,7 @@ def _fused_layer_b_kernel(
     inter = 2 * half_d
     p_rows = 8  # group-padded q rows per kv head
     n_kv_blk = s_len // kv_blk if kv_blk else 1
-    B = 8
+    B = n_rows  # kernel row count == padded batch (8 or 16)
 
     def body(k_buf, v_buf, o_bufs, o_sb, g_bufs, g_sb, d_bufs, d_sb,
              q_bufs, q_sb, gu_buf, d_acc, x_att_buf,
@@ -1300,7 +1300,7 @@ def fused_layer_batched(
     only when `fill` is given); all four weight streams run with
     rows == batch slots."""
     B_in = q32.shape[0]
-    assert B_in <= 8, B_in
+    assert B_in <= 16, B_in
     L = o_slot["packed"].shape[0]
     l_next = jnp.minimum(layer_index + 1, L - 1)
     dqkv = qkv_slot["packed"].shape[1] * qkv_slot["packed"].shape[-1]
@@ -1355,9 +1355,10 @@ def fused_layer_batched(
         qkv = qkv + bias_row.astype(qkv.dtype)  # bias_row is (1, dqkv)
         return h32b.astype(h.dtype), qkv
 
-    # Pad the batch to the 8 kernel rows; padded rows carry zero q/h and a
-    # single live KV block (mask all -inf -> uniform probs over zeros).
-    B = 8
+    # Pad the batch to 8 (or 16) kernel rows; padded rows carry zero q/h
+    # and a single live KV block (mask all -inf -> uniform probs over
+    # zeros).
+    B = 8 if B_in <= 8 else 16
     q32p = q32
     maskp = mask
     hp = h
@@ -1406,7 +1407,7 @@ def fused_layer_batched(
             _fused_layer_b_kernel,
             mo=mo, mg=mg, md=md, mq=mq,
             n_bo=n_bo, n_bg=n_bg, n_bd=n_bd, n_bq=n_bq,
-            eps=eps, hkv=hkv, hd=hd, kv_blk=kv_blk,
+            eps=eps, hkv=hkv, hd=hd, kv_blk=kv_blk, n_rows=B,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

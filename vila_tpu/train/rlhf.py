@@ -16,7 +16,12 @@ these are the compact TPU-native equivalents of the remaining surface:
    advantages).
  * **SFT**: TRL's sft_trainer is plain causal-LM fine-tuning — in this
    repo that IS `train/trainer.py` (stage recipes); `sft_step_fn` below is
-   the iterative-SFT-style single step for API completeness.
+   the iterative-SFT-style single step for API completeness
+   (trl iterative_sft_trainer.py).
+
+Deliberately out of scope: trl's DDPO (ddpo_trainer.py) — Denoising
+Diffusion Policy Optimization is a Stable-Diffusion trainer with no call
+site anywhere in the reference's VLM stack.
 
 TPU-first notes: everything here is a pure jittable step over sharded
 params — experience-making (old logp / values / KL rewards / GAE) is one
