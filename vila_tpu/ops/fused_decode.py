@@ -906,7 +906,7 @@ def fused_layer(
             _fused_layer_kernel,
             mo=mo, mg=mg, md=md, mq=mq,
             n_bo=n_bo, n_bg=n_bg, n_bd=n_bd, n_bq=n_bq,
-            eps=eps, hkv=hkv, hd=hd, kv_blk=kv_blk, n_rows=B,
+            eps=eps, hkv=hkv, hd=hd, kv_blk=kv_blk,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
