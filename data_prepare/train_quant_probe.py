@@ -1,12 +1,26 @@
-"""Train the tiny quantization-accuracy probe model on the pope-mini
-fixture and save it (entry.save component layout).
+"""Train the tiny quantization-accuracy probe model and save it
+(entry.save component layout).
 
 Purpose: quantized-accuracy measurement (VERDICT r3 #2) needs a model
 whose task accuracy is high enough that W4 degradation is visible.
 Real NVILA weights are unreachable in this environment, so we train a
-tiny VLM to genuine competence on the committed pope-mini fixture
-(color/shape presence QA with real ground truth), then measure bf16 vs
-W4-RTN vs W4-AWQ accuracy with scripts/quant_acc.py.
+tiny VLM to genuine competence on the POPE-style presence task
+(color/shape QA with real ground truth), then measure bf16 vs W4-RTN vs
+W4-AWQ accuracy with scripts/quant_acc.py.
+
+De-saturation (VERDICT r4 #4): training ON the 200-row pope-mini eval
+fixture saturates every engine at accuracy 1.000, which proves plumbing
+but cannot detect a W4 regression. The default regime therefore trains
+on the SAME fixture images (a probe this size cannot generalize
+perception to unseen renders — measured: eval-acc stays at chance) but
+with freshly generated presence questions that NEVER mention four
+held-out (shape, color) compositions; the ~22% of pope-mini rows that
+ask about those compositions require compositional transfer, which keeps
+bf16 off the 1.0 ceiling. Independently of where the plateau lands, the
+trainer evaluates every --eval-every steps and saves the checkpoint
+whose pope-mini accuracy is closest to --target-acc inside --band, so a
+pre-saturation checkpoint is selected even if the probe eventually
+generalizes. `--train-on-eval` restores the old saturated regime.
 
 Shapes are chosen to satisfy the W4 kernel constraints (every linear's
 din % 256 == 0; vocab a 128-multiple so lm_head blocks are lane-aligned).
@@ -111,6 +125,76 @@ def load_fixture(fixture_dir):
     return rows
 
 
+# (shape, color) compositions held out of the TRAIN set (images and
+# questions): pope-mini rows touching these require compositional
+# generalization, which keeps bf16 accuracy off the 1.0 ceiling so a W4
+# regression is measurable (VERDICT r4 #4).
+HELDOUT_COMBOS = (
+    ("circle", "purple"),
+    ("square", "yellow"),
+    ("triangle", "green"),
+    ("circle", "orange"),
+)
+
+
+def regen_eval_metas():
+    """Replay the committed fixture's deterministic generator (seed
+    20260818, data_prepare/make_mini_eval_fixture.py:build) to recover
+    per-image ground-truth shape lists WITHOUT touching the committed
+    PNGs. The jsonl sha in the fixture commit pins the generator, so the
+    replayed metas are exact."""
+    import random
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import make_mini_eval_fixture as fixgen
+
+    rng = random.Random(20260818)
+    metas = []
+    for i in range(fixgen.N_IMAGES):
+        _, meta = fixgen.make_image(rng)
+        meta["image"] = os.path.join("images", f"img_{i:03d}.png")
+        metas.append(meta)
+    return metas
+
+
+def build_heldout_train_rows(metas, n_rows=600, seed=777):
+    """Presence questions over the SAME fixture images, with every
+    question mentioning a HELDOUT_COMBOS pair excluded (as a positive OR
+    a negative — a 'no' row would teach the composition too)."""
+    import random
+
+    rng = random.Random(seed)
+    held = set(HELDOUT_COMBOS)
+    all_pairs = sorted(
+        {(s["shape"], s["color"]) for m in metas for s in m["shapes"]}
+        - held
+    )
+    rows = []
+    i = 0
+    while len(rows) < n_rows:
+        m = metas[i % len(metas)]
+        present = {(s["shape"], s["color"]) for s in m["shapes"]}
+        if len(rows) % 2 == 0:
+            cand = sorted(present - held)
+            if not cand:  # image only contains held-out combos: skip
+                i += 1
+                continue
+            shape, color = rng.choice(cand)
+            answer = "yes"
+        else:
+            absent = [p for p in all_pairs if p not in present]
+            shape, color = rng.choice(absent)
+            answer = "no"
+        rows.append({
+            "question_id": f"pope-train-{len(rows):04d}",
+            "image": m["image"],
+            "question": f"Is there a {color} {shape} in the image?",
+            "answer": answer,
+        })
+        i += 1
+    return rows
+
+
 def make_examples(rows, tok, cfg, fixture_dir, seq_len=160):
     """Tokenized supervised examples: question + yes/no answer."""
     from PIL import Image
@@ -189,6 +273,15 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument(
+        "--train-on-eval", action="store_true",
+        help="legacy regime: train directly on the pope-mini eval fixture "
+             "(saturates at accuracy 1.000; plumbing check only)",
+    )
+    ap.add_argument("--eval-every", type=int, default=25)
+    ap.add_argument("--target-acc", type=float, default=0.90)
+    ap.add_argument("--band", type=float, nargs=2, default=(0.80, 0.96),
+                    metavar=("LO", "HI"))
+    ap.add_argument(
         "--out", default=os.path.join(
             os.path.dirname(__file__), "..",
             "vila_tpu", "eval", "fixtures", "quant_probe"),
@@ -209,14 +302,24 @@ def main():
     fixture_dir = os.path.join(
         os.path.dirname(__file__), "..", "vila_tpu", "eval",
         "fixtures", "mini")
-    rows = load_fixture(fixture_dir)
+    eval_rows = load_fixture(fixture_dir)
+    if args.train_on_eval:
+        rows = eval_rows
+    else:
+        rows = build_heldout_train_rows(regen_eval_metas())
+        print(f"train set: {len(rows)} rows over the fixture images, "
+              f"held-out combos {HELDOUT_COMBOS}")
+    train_dir = fixture_dir
     tok = make_word_tokenizer(
         [r["question"] for r in rows]
+        + [r["question"] for r in eval_rows]
         + ["Answer the question with yes or no."]
     )
     add_media_tokens(tok)
     assert len(tok) <= cfg.llm.vocab_size, len(tok)
-    exs = make_examples(rows, tok, cfg, fixture_dir)
+    exs = make_examples(rows, tok, cfg, train_dir)
+    eval_exs = (exs if args.train_on_eval
+                else make_examples(eval_rows, tok, cfg, fixture_dir))
     print(f"{len(exs)} training examples, seq {exs[0]['input_ids'].shape[0]}")
 
     params = vlm.init_params(jax.random.PRNGKey(0), cfg)
@@ -259,13 +362,15 @@ def main():
     def batch_logits(params, batch):
         return vlm.forward_batch(params, cfg, batch)
 
-    def answer_accuracy(params):
+    def answer_accuracy(params, which):
+        """Greedy first-answer-token accuracy over `which` examples —
+        identical to what greedy yes/no generation scores."""
         correct, total = 0, 0
-        for lo in range(0, n, 25):
-            idx = list(range(lo, min(lo + 25, n)))
+        for lo in range(0, len(which), 25):
+            idx = list(range(lo, min(lo + 25, len(which))))
             batch = {
                 k: jnp.asarray(v)
-                for k, v in batchify(exs, idx, cfg.tokens_per_image).items()
+                for k, v in batchify(which, idx, cfg.tokens_per_image).items()
             }
             logits = np.asarray(batch_logits(params, batch))
             labels = np.asarray(batch["labels"])
@@ -277,20 +382,54 @@ def main():
                 total += 1
         return correct / total
 
+    # checkpoint selection (VERDICT r4 #4): keep the snapshot whose
+    # pope-mini accuracy is closest to --target-acc inside --band, so bf16
+    # sits off the 1.0 ceiling and a W4 regression is measurable
+    lo, hi = args.band
+    best = None  # (|acc - target|, acc, step, params_snapshot)
+
+    def snapshot(p):
+        return jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), p)
+
     rng = np.random.default_rng(0)
     n = len(exs)
     for it in range(args.steps):
         idx = jnp.asarray(
             rng.choice(n, size=args.batch, replace=False).astype(np.int32))
         params, opt_state, loss = step(params, opt_state, idx, data)
-        if it % 200 == 0 or it == args.steps - 1:
-            acc = answer_accuracy(params)
-            print(f"step {it}: loss {float(loss):.4f} "
-                  f"answer-acc {acc:.3f}", flush=True)
+        last = it == args.steps - 1
+        if it % args.eval_every == 0 or last:
+            eval_acc = answer_accuracy(params, eval_exs)
+            line = (f"step {it}: loss {float(loss):.4f} "
+                    f"eval-acc {eval_acc:.3f}")
+            if not args.train_on_eval:
+                if lo <= eval_acc <= hi:
+                    d = abs(eval_acc - args.target_acc)
+                    if best is None or d < best[0]:
+                        best = (d, eval_acc, it, snapshot(params))
+                        line += "  <- candidate"
+            print(line, flush=True)
+
+    if args.train_on_eval or best is None:
+        if best is None and not args.train_on_eval:
+            print(f"WARNING: no checkpoint landed in band [{lo}, {hi}]; "
+                  "saving final params")
+        final, final_acc = params, answer_accuracy(params, eval_exs)
+    else:
+        _, final_acc, at, final = best
+        print(f"selected step-{at} checkpoint, eval-acc {final_acc:.3f}")
 
     out_dir = os.path.abspath(args.out)
-    entry.save(params, cfg, tok, out_dir)
-    print("saved ->", out_dir)
+    entry.save(final, cfg, tok, out_dir)
+    with open(os.path.join(out_dir, "probe_meta.json"), "w") as f:
+        json.dump({
+            "regime": "train-on-eval" if args.train_on_eval
+            else "heldout-compositions",
+            "heldout_combos": HELDOUT_COMBOS,
+            "eval_acc_bf16_fp32proxy": final_acc,
+            "steps": args.steps,
+        }, f, indent=1)
+    print(f"saved -> {out_dir} (eval-acc {final_acc:.3f})")
 
 
 if __name__ == "__main__":

@@ -137,17 +137,25 @@ def run_niah(
     answer_ids: np.ndarray,  # (A,) token ids the model should produce
     niah: NIAHConfig,
     mesh=None,
+    query: Optional[jnp.ndarray] = None,  # (Q, D) retrieval cue at the end
 ) -> List[Dict[str, Any]]:
     """Evaluate retrieval accuracy over (context_length, depth) grid.
 
     Accuracy = fraction of answer tokens greedily predicted at the needle's
-    position (teacher-forced, like eval_vision_niah.py's argmax check)."""
+    position (teacher-forced, like eval_vision_niah.py's argmax check).
+
+    `query` embeddings, when given, are appended after the spliced haystack
+    and before the teacher-forced answer — the "what was the secret?"
+    question of a text NIAH (eval_vision_niah.py's `question_embedding`)."""
     results = []
     a = len(answer_ids)
+    qn = 0 if query is None else query.shape[0]
     for ctx in niah.context_lengths:
-        hs = haystack[: ctx - needle.shape[0] - a]
+        hs = haystack[: ctx - needle.shape[0] - qn - a]
         for depth in niah.depths:
             seq, pos = splice_needle(hs, needle, depth)
+            if query is not None:
+                seq = jnp.concatenate([seq, query])
             # teacher-forced answer embeddings appended at the end
             from vila_tpu.models import qwen2
 

@@ -32,6 +32,7 @@ Off-TPU the public functions compose the existing grid kernels + XLA norms
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -48,6 +49,24 @@ from vila_tpu.ops.quant import (
 )
 
 _ACT_DIGITS = 2
+
+
+def _use_ref_path() -> bool:
+    """Off-TPU the entry points normally take the fast reference-math
+    branch; VILA_TPU_PALLAS_INTERPRET=1 forces them THROUGH the Pallas
+    argument assembly into `pl.pallas_call(interpret=...)` under the TPU
+    interpreter instead, so BlockSpecs / out_shapes / kwarg plumbing are
+    executed off-chip (VERDICT r4: a NameError in that code survived a
+    green 325-test suite because the early return hid it)."""
+    return _interpret() and os.environ.get(
+        "VILA_TPU_PALLAS_INTERPRET", ""
+    ) != "1"
+
+
+def _interpret_arg():
+    """Value for pl.pallas_call(interpret=...): the TPU interpreter
+    (simulated DMAs/semaphores) off-TPU, compiled on chip."""
+    return pltpu.InterpretParams() if _interpret() else False
 
 
 def _block_compute(digits_lo, digits_hi, p_read, s_read, *, bm, bout,
@@ -338,7 +357,7 @@ def fused_o_gateup(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (h_new, gate_up) for the layer. TPU: one fused kernel;
     off-TPU: reference composition of the grid kernels + XLA norm."""
-    if _interpret():
+    if _use_ref_path():
         from vila_tpu.ops.quant import w4_matmul_decode
 
         acc = w4_matmul_decode(attn_out, o_slot["packed"], o_slot["scales"],
@@ -380,10 +399,10 @@ def fused_o_gateup(
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # attn
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # h
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # gamma row
-                pl.BlockSpec(memory_space=pltpu.ANY),  # o packed
-                pl.BlockSpec(memory_space=pltpu.ANY),  # o scales
-                pl.BlockSpec(memory_space=pltpu.ANY),  # gu packed
-                pl.BlockSpec(memory_space=pltpu.ANY),  # gu scales
+                pl.BlockSpec(memory_space=pl.ANY),  # o packed
+                pl.BlockSpec(memory_space=pl.ANY),  # o scales
+                pl.BlockSpec(memory_space=pl.ANY),  # gu packed
+                pl.BlockSpec(memory_space=pl.ANY),  # gu scales
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -397,6 +416,7 @@ def fused_o_gateup(
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=100 << 20,
         ),
+        interpret=_interpret_arg(),
     )(
         jnp.asarray(layer_index, jnp.int32).reshape(1),
         attn_out, h,
@@ -427,7 +447,7 @@ def fused_down_qkv(
     bias = qkv_slot.get("bias")
     if bias is None:
         bias = jnp.zeros((L, dqkv), jnp.bfloat16)
-    if _interpret():
+    if _use_ref_path():
         from vila_tpu.ops.quant import w4_matmul_decode
 
         inter = gu.shape[1] // 2
@@ -474,10 +494,10 @@ def fused_down_qkv(
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # h
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # gamma row
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # bias row
-                pl.BlockSpec(memory_space=pltpu.ANY),  # down packed
-                pl.BlockSpec(memory_space=pltpu.ANY),  # down scales
-                pl.BlockSpec(memory_space=pltpu.ANY),  # qkv packed
-                pl.BlockSpec(memory_space=pltpu.ANY),  # qkv scales
+                pl.BlockSpec(memory_space=pl.ANY),  # down packed
+                pl.BlockSpec(memory_space=pl.ANY),  # down scales
+                pl.BlockSpec(memory_space=pl.ANY),  # qkv packed
+                pl.BlockSpec(memory_space=pl.ANY),  # qkv scales
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -491,6 +511,7 @@ def fused_down_qkv(
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=100 << 20,
         ),
+        interpret=_interpret_arg(),
     )(
         jnp.stack([jnp.asarray(layer_index, jnp.int32),
                    jnp.asarray(l_next, jnp.int32)]),
@@ -603,13 +624,18 @@ def _fused_layer_kernel(
         for t in range(n_bg):
             for d in dma_g(t, t):
                 d.start()
-        if nj_g <= n_bg and nj_d <= n_bd:
+        # If the whole gu stream is buffered, nothing later re-triggers the
+        # down stream — start its head now, independent of nj_d vs n_bd
+        # (coupling the two conditions deadlocks d_loop when nj_g <= n_bg
+        # but nj_d > n_bd: no upfront start AND no gu_loop chain).
+        if nj_g <= n_bg:
             for t in range(n_bd):
                 for d in dma_d(t, t):
                     d.start()
-            for t in range(n_bq):
-                for d in dma_q(t, t):
-                    d.start()
+            if nj_d <= n_bd:
+                for t in range(n_bq):
+                    for d in dma_q(t, t):
+                        d.start()
 
         # zero the skipped tail blocks (masked out of the softmax, but
         # uninitialized VMEM could hold NaN bit patterns) while DMAs fly
@@ -635,14 +661,18 @@ def _fused_layer_kernel(
         outs = []
         for g in range(hkv):  # static
             qg = q32_ref[g * p_rows:(g + 1) * p_rows, :]  # (8, hd) bf16
-            kg = k_buf[:, g * hd:(g + 1) * hd]  # (S, hd) bf16
+            kg = k_buf[:, g * hd:(g + 1) * hd]  # (S, hd)
+            vg = v_buf[:, g * hd:(g + 1) * hd]
+            if kg.dtype != jnp.bfloat16:  # static: f32 cache (CPU tests)
+                kg = kg.astype(jnp.bfloat16)
+                vg = vg.astype(jnp.bfloat16)
             sc = jax.lax.dot_general(
                 qg, kg, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (8, S)
             probs = _softmax_rows(sc + mask).astype(jnp.bfloat16)
             og = jax.lax.dot_general(
-                probs, v_buf[:, g * hd:(g + 1) * hd],
+                probs, vg,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (8, hd) f32
@@ -779,8 +809,11 @@ def _fused_layer_kernel(
 
     pl.run_scoped(
         body,
-        k_buf=pltpu.VMEM((s_len, k_hbm.shape[3]), jnp.bfloat16),
-        v_buf=pltpu.VMEM((s_len, k_hbm.shape[3]), jnp.bfloat16),
+        # slab dtype follows the cache: a dtype-mismatched DMA writes
+        # garbage bytes (caught by the interpret-mode smoke tests); f32
+        # caches (CPU tests) cast to bf16 at the attention reads instead
+        k_buf=pltpu.VMEM((s_len, k_hbm.shape[3]), k_hbm.dtype),
+        v_buf=pltpu.VMEM((s_len, k_hbm.shape[3]), k_hbm.dtype),
         o_bufs=pltpu.VMEM((n_bo, half_o, bo), jnp.uint8),
         o_sb=pltpu.VMEM((n_bo, o_s.shape[-2], bo), jnp.bfloat16),
         g_bufs=pltpu.VMEM((n_bg, half_g, bg), jnp.uint8),
@@ -835,7 +868,7 @@ def fused_layer(
     bias_row = jax.lax.dynamic_index_in_dim(
         bias.astype(jnp.bfloat16), l_next, 0)
 
-    if _interpret():
+    if _use_ref_path():
         # reference composition (CPU): explicit attention + the fused A/B
         # interpret paths
         p_rows = 8
@@ -918,16 +951,16 @@ def fused_layer(
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # gpost row
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # gin row
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # bias row
-                pl.BlockSpec(memory_space=pltpu.ANY),  # k cache
-                pl.BlockSpec(memory_space=pltpu.ANY),  # v cache
-                pl.BlockSpec(memory_space=pltpu.ANY),  # o packed
-                pl.BlockSpec(memory_space=pltpu.ANY),  # o scales
-                pl.BlockSpec(memory_space=pltpu.ANY),  # gu packed
-                pl.BlockSpec(memory_space=pltpu.ANY),  # gu scales
-                pl.BlockSpec(memory_space=pltpu.ANY),  # down packed
-                pl.BlockSpec(memory_space=pltpu.ANY),  # down scales
-                pl.BlockSpec(memory_space=pltpu.ANY),  # qkv packed
-                pl.BlockSpec(memory_space=pltpu.ANY),  # qkv scales
+                pl.BlockSpec(memory_space=pl.ANY),  # k cache
+                pl.BlockSpec(memory_space=pl.ANY),  # v cache
+                pl.BlockSpec(memory_space=pl.ANY),  # o packed
+                pl.BlockSpec(memory_space=pl.ANY),  # o scales
+                pl.BlockSpec(memory_space=pl.ANY),  # gu packed
+                pl.BlockSpec(memory_space=pl.ANY),  # gu scales
+                pl.BlockSpec(memory_space=pl.ANY),  # down packed
+                pl.BlockSpec(memory_space=pl.ANY),  # down scales
+                pl.BlockSpec(memory_space=pl.ANY),  # qkv packed
+                pl.BlockSpec(memory_space=pl.ANY),  # qkv scales
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -941,6 +974,7 @@ def fused_layer(
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=100 << 20,
         ),
+        interpret=_interpret_arg(),
     )(
         jnp.stack([jnp.asarray(layer_index, jnp.int32),
                    jnp.asarray(l_next, jnp.int32),
@@ -1090,13 +1124,17 @@ def _fused_layer_b_kernel(
         for t in range(n_bg):
             for d in dma_g(t, t):
                 d.start()
-        if nj_g <= n_bg and nj_d <= n_bd:
+        # decoupled start conditions — see the bs=1 kernel: gating the down
+        # head on nj_d <= n_bd as well deadlocks d_loop when nj_g <= n_bg
+        # but nj_d > n_bd (no upfront start AND no gu_loop chain)
+        if nj_g <= n_bg:
             for t in range(n_bd):
                 for d in dma_d(t, t):
                     d.start()
-            for t in range(n_bq):
-                for d in dma_q(t, t):
-                    d.start()
+            if nj_d <= n_bd:
+                for t in range(n_bq):
+                    for d in dma_q(t, t):
+                        d.start()
 
         # ---- attention: per (slot, kv head), double-buffered KV ----
         lane_blk = jax.lax.broadcasted_iota(
@@ -1113,13 +1151,17 @@ def _fused_layer_b_kernel(
             for g in range(hkv):  # static
                 qg = q32_ref[b, g * p_rows:(g + 1) * p_rows, :]  # (8, hd)
                 kg = k_buf[slot, :, g * hd:(g + 1) * hd]  # (S, hd)
+                vg = v_buf[slot, :, g * hd:(g + 1) * hd]
+                if kg.dtype != jnp.bfloat16:  # static: f32 cache (CPU)
+                    kg = kg.astype(jnp.bfloat16)
+                    vg = vg.astype(jnp.bfloat16)
                 sc = jax.lax.dot_general(
                     qg, kg, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (8, S)
                 probs = _softmax_rows(sc + mask).astype(jnp.bfloat16)
                 og = jax.lax.dot_general(
-                    probs, v_buf[slot, :, g * hd:(g + 1) * hd],
+                    probs, vg,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (8, hd) f32
@@ -1254,8 +1296,8 @@ def _fused_layer_b_kernel(
 
     pl.run_scoped(
         body,
-        k_buf=pltpu.VMEM((2, s_len, k_hbm.shape[3]), jnp.bfloat16),
-        v_buf=pltpu.VMEM((2, s_len, k_hbm.shape[3]), jnp.bfloat16),
+        k_buf=pltpu.VMEM((2, s_len, k_hbm.shape[3]), k_hbm.dtype),
+        v_buf=pltpu.VMEM((2, s_len, k_hbm.shape[3]), k_hbm.dtype),
         o_bufs=pltpu.VMEM((n_bo, half_o, bo), jnp.uint8),
         o_sb=pltpu.VMEM((n_bo, o_s.shape[-2], bo), jnp.bfloat16),
         g_bufs=pltpu.VMEM((n_bg, half_g, bg), jnp.uint8),
@@ -1314,7 +1356,7 @@ def fused_layer_batched(
     bias_row = jax.lax.dynamic_index_in_dim(
         bias.astype(jnp.bfloat16), l_next, 0)
 
-    if _interpret():
+    if _use_ref_path():
         # reference composition (CPU): per-row attention + quant matmuls
         p_rows = 8
         kg = jax.lax.dynamic_index_in_dim(k_cache, layer_index, 0,
@@ -1419,16 +1461,16 @@ def fused_layer_batched(
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # gpost row
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # gin row
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # bias row
-                pl.BlockSpec(memory_space=pltpu.ANY),  # k cache
-                pl.BlockSpec(memory_space=pltpu.ANY),  # v cache
-                pl.BlockSpec(memory_space=pltpu.ANY),  # o packed
-                pl.BlockSpec(memory_space=pltpu.ANY),  # o scales
-                pl.BlockSpec(memory_space=pltpu.ANY),  # gu packed
-                pl.BlockSpec(memory_space=pltpu.ANY),  # gu scales
-                pl.BlockSpec(memory_space=pltpu.ANY),  # down packed
-                pl.BlockSpec(memory_space=pltpu.ANY),  # down scales
-                pl.BlockSpec(memory_space=pltpu.ANY),  # qkv packed
-                pl.BlockSpec(memory_space=pltpu.ANY),  # qkv scales
+                pl.BlockSpec(memory_space=pl.ANY),  # k cache
+                pl.BlockSpec(memory_space=pl.ANY),  # v cache
+                pl.BlockSpec(memory_space=pl.ANY),  # o packed
+                pl.BlockSpec(memory_space=pl.ANY),  # o scales
+                pl.BlockSpec(memory_space=pl.ANY),  # gu packed
+                pl.BlockSpec(memory_space=pl.ANY),  # gu scales
+                pl.BlockSpec(memory_space=pl.ANY),  # down packed
+                pl.BlockSpec(memory_space=pl.ANY),  # down scales
+                pl.BlockSpec(memory_space=pl.ANY),  # qkv packed
+                pl.BlockSpec(memory_space=pl.ANY),  # qkv scales
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1442,6 +1484,7 @@ def fused_layer_batched(
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=120 << 20,
         ),
+        interpret=_interpret_arg(),
     )(
         jnp.concatenate([
             jnp.asarray(layer_index, jnp.int32).reshape(1),

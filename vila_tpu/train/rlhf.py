@@ -93,12 +93,23 @@ class RewardConfig:
     center_coef: float = 0.0  # optional reward-centering L2 (trl margin-free)
 
 
-def sequence_reward(params, head, cfg, batch) -> jnp.ndarray:
-    """(B,) scalar rewards: value head on the LAST VALID token's hidden."""
+def sequence_reward(params, head, cfg, batch,
+                    valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(B,) scalar rewards: value head on the LAST VALID token's hidden.
+
+    `valid` (B, S) bool marks real tokens. Defaults to the collator's
+    ``segment_ids != 0`` (0 is padding by construction, `data/collate.py`);
+    only without segment_ids does it fall back to inferring from pad-id-0
+    input_ids — which conflates a legitimate token id 0 with padding, so
+    callers with custom batches should pass the mask explicitly."""
     hidden = _hidden(params, cfg, batch)
-    valid = batch["input_ids"] != 0
-    if "labels" in batch:
-        valid = valid | (batch["labels"] != IGNORE_INDEX)
+    if valid is None:
+        if "segment_ids" in batch:
+            valid = batch["segment_ids"] != 0
+        else:
+            valid = batch["input_ids"] != 0
+            if "labels" in batch:
+                valid = valid | (batch["labels"] != IGNORE_INDEX)
     last = jnp.maximum(
         valid.shape[1] - 1 - jnp.argmax(valid[:, ::-1], axis=1), 0
     )
@@ -168,16 +179,25 @@ def compute_gae(
     gamma: float,
     lam: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Generalized advantage estimation as a reversed lax.scan
-    (ppo_trainer.compute_advantages). Returns (advantages, returns)."""
+    """Generalized advantage estimation as a reversed lax.scan.
+
+    TRL semantics (ppo_trainer.compute_advantages, trl/trainer/
+    ppo_trainer.py:1141): values and rewards are zeroed by the mask BEFORE
+    the recursion, so garbage value-head outputs on padded / post-response
+    positions never enter a delta or the carry (the boundary bootstrap is
+    gamma * 0, and padding steps contribute delta == 0); the recursion
+    itself is then unmasked. Returns (advantages, returns)."""
+    values = values * mask
+    rewards = rewards * mask
+
     def step(carry, xs):
         next_adv, next_value = carry
-        r, v, m = xs
-        delta = r + gamma * next_value * m - v
-        adv = delta + gamma * lam * next_adv * m
+        r, v = xs
+        delta = r + gamma * next_value - v
+        adv = delta + gamma * lam * next_adv
         return (adv, v), adv
 
-    xs = (rewards.T, values.T, mask.T)  # scan over time, reversed
+    xs = (rewards.T, values.T)  # scan over time, reversed
     (_, _), adv_t = jax.lax.scan(
         step,
         (jnp.zeros(rewards.shape[0]), jnp.zeros(rewards.shape[0])),
@@ -220,13 +240,18 @@ def make_experience(
 
     kl = old_logp - ref_logp
     rewards = -pcfg.kl_coef * kl * response_mask
-    # terminal score lands on the LAST response token
+    # terminal score lands on the LAST response token; a row with an empty
+    # response mask has no terminal token — its score is dropped rather
+    # than landing on argmax-of-zeros (position T-1)
+    has_resp = response_mask.sum(axis=1) > 0
     idx = jnp.maximum(
         response_mask.shape[1] - 1
         - jnp.argmax(response_mask[:, ::-1], axis=1),
         0,
     )
-    rewards = rewards.at[jnp.arange(rewards.shape[0]), idx].add(scores)
+    rewards = rewards.at[jnp.arange(rewards.shape[0]), idx].add(
+        jnp.where(has_resp, scores, 0.0)
+    )
 
     advantages, returns = compute_gae(
         rewards, values, response_mask, pcfg.gamma, pcfg.lam
