@@ -9,18 +9,23 @@ tiny VLM to genuine competence on the POPE-style presence task
 W4-AWQ accuracy with scripts/quant_acc.py.
 
 De-saturation (VERDICT r4 #4): training ON the 200-row pope-mini eval
-fixture saturates every engine at accuracy 1.000, which proves plumbing
-but cannot detect a W4 regression. The default regime therefore trains
-on the SAME fixture images (a probe this size cannot generalize
-perception to unseen renders — measured: eval-acc stays at chance) but
-with freshly generated presence questions that NEVER mention four
-held-out (shape, color) compositions; the ~22% of pope-mini rows that
-ask about those compositions require compositional transfer, which keeps
-bf16 off the 1.0 ceiling. Independently of where the plateau lands, the
-trainer evaluates every --eval-every steps and saves the checkpoint
-whose pope-mini accuracy is closest to --target-acc inside --band, so a
-pre-saturation checkpoint is selected even if the probe eventually
-generalizes. `--train-on-eval` restores the old saturated regime.
+fixture to convergence saturates every engine at accuracy 1.000, which
+proves plumbing but cannot detect a W4 regression. The default regime
+therefore still trains on the fixture rows but evaluates every
+--eval-every steps and saves the MID-TRAINING checkpoint whose accuracy
+is closest to --target-acc inside --band (VERDICT's "fewer steps"
+lever) — a genuine 0.9-accuracy function whose W4 degradation is
+measurable.
+
+Why not held-out generalization instead: measured negative result
+(r5). Two regimes were tried — fresh train images (same renderer, new
+seed) and same-images-with-held-out-compositions. In both, train loss
+drops to ~0.1-0.3 while eval accuracy stays at chance (0.50) and then
+drifts BELOW chance (0.19 final): a 4-layer/256-d probe answers by
+memorizing (image-signature, question) pairs and partial features
+("red"->yes), not by perception, so any train/eval split makes eval
+accuracy meaningless. `--heldout` keeps that regime runnable as the
+recorded negative control.
 
 Shapes are chosen to satisfy the W4 kernel constraints (every linear's
 din % 256 == 0; vocab a 128-multiple so lm_head blocks are lane-aligned).
@@ -273,11 +278,17 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument(
-        "--train-on-eval", action="store_true",
-        help="legacy regime: train directly on the pope-mini eval fixture "
+        "--heldout", action="store_true",
+        help="negative-control regime: train questions exclude four "
+             "(shape,color) compositions (probe memorizes, eval-acc ends "
+             "below chance — see module docstring)",
+    )
+    ap.add_argument(
+        "--to-convergence", action="store_true",
+        help="skip band selection and save the final checkpoint "
              "(saturates at accuracy 1.000; plumbing check only)",
     )
-    ap.add_argument("--eval-every", type=int, default=25)
+    ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--target-acc", type=float, default=0.90)
     ap.add_argument("--band", type=float, nargs=2, default=(0.80, 0.96),
                     metavar=("LO", "HI"))
@@ -303,12 +314,12 @@ def main():
         os.path.dirname(__file__), "..", "vila_tpu", "eval",
         "fixtures", "mini")
     eval_rows = load_fixture(fixture_dir)
-    if args.train_on_eval:
-        rows = eval_rows
-    else:
+    if args.heldout:
         rows = build_heldout_train_rows(regen_eval_metas())
         print(f"train set: {len(rows)} rows over the fixture images, "
               f"held-out combos {HELDOUT_COMBOS}")
+    else:
+        rows = eval_rows
     train_dir = fixture_dir
     tok = make_word_tokenizer(
         [r["question"] for r in rows]
@@ -318,8 +329,8 @@ def main():
     add_media_tokens(tok)
     assert len(tok) <= cfg.llm.vocab_size, len(tok)
     exs = make_examples(rows, tok, cfg, train_dir)
-    eval_exs = (exs if args.train_on_eval
-                else make_examples(eval_rows, tok, cfg, fixture_dir))
+    eval_exs = (make_examples(eval_rows, tok, cfg, fixture_dir)
+                if args.heldout else exs)
     print(f"{len(exs)} training examples, seq {exs[0]['input_ids'].shape[0]}")
 
     params = vlm.init_params(jax.random.PRNGKey(0), cfg)
@@ -402,7 +413,7 @@ def main():
             eval_acc = answer_accuracy(params, eval_exs)
             line = (f"step {it}: loss {float(loss):.4f} "
                     f"eval-acc {eval_acc:.3f}")
-            if not args.train_on_eval:
+            if not args.to_convergence:
                 if lo <= eval_acc <= hi:
                     d = abs(eval_acc - args.target_acc)
                     if best is None or d < best[0]:
@@ -410,8 +421,8 @@ def main():
                         line += "  <- candidate"
             print(line, flush=True)
 
-    if args.train_on_eval or best is None:
-        if best is None and not args.train_on_eval:
+    if args.to_convergence or best is None:
+        if best is None and not args.to_convergence:
             print(f"WARNING: no checkpoint landed in band [{lo}, {hi}]; "
                   "saving final params")
         final, final_acc = params, answer_accuracy(params, eval_exs)
@@ -423,8 +434,9 @@ def main():
     entry.save(final, cfg, tok, out_dir)
     with open(os.path.join(out_dir, "probe_meta.json"), "w") as f:
         json.dump({
-            "regime": "train-on-eval" if args.train_on_eval
-            else "heldout-compositions",
+            "regime": ("heldout-compositions" if args.heldout
+                       else "to-convergence" if args.to_convergence
+                       else "band-selected"),
             "heldout_combos": HELDOUT_COMBOS,
             "eval_acc_bf16_fp32proxy": final_acc,
             "steps": args.steps,

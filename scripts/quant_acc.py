@@ -110,6 +110,10 @@ def main():
 
     out = {"task": "pope-mini", "n_examples": len(dataset),
            "model": "trained tiny probe (data_prepare/train_quant_probe.py)"}
+    meta_path = os.path.join(args.model, "probe_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            out["probe_meta"] = json.load(f)
 
     # task accuracy per engine
     for name, eng in engines.items():
