@@ -51,7 +51,9 @@ class LLMConfig:
     qkv_bias: bool = True  # Qwen2: q/k/v have bias, o_proj does not
     max_position_embeddings: int = 32768
     dtype: str = "float32"  # compute dtype
-    remat: bool = False
+    # False | True (full recompute, minimum memory) | "dots" (keep matmul
+    # outputs resident; recompute only elementwise — higher MFU)
+    remat: Any = False
     # COAT-parity FP8 training: decoder matmuls run E4M3 fwd / E5M2 bwd
     # (llava/model/coat/, llava/model/qlinear_te.py:20). ops/fp8.py.
     # False | True/"tensor" (per-tensor scales) | "group" (per-group 128
@@ -667,9 +669,17 @@ def forward(
 
     body = layer_fn
     if cfg.remat:
-        body = jax.checkpoint(
-            layer_fn, policy=jax.checkpoint_policies.nothing_saveable
+        # remat=True -> full recompute (minimum memory). remat="dots" keeps
+        # matmul outputs resident so the backward re-runs only elementwise
+        # work — per-layer residency rises by the dot activations
+        # (~S*(2*inter+3*D) bf16), bought back as MFU (the recompute
+        # forward disappears from the critical path).
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if cfg.remat == "dots"
+            else jax.checkpoint_policies.nothing_saveable
         )
+        body = jax.checkpoint(layer_fn, policy=policy)
 
     L = cfg.num_hidden_layers
     layer_ids = jnp.arange(L, dtype=jnp.int32)
