@@ -139,16 +139,24 @@ def try_deviceless_8dev(cfg):
         specs = llm_param_specs(cfg, mesh)
         res = compile_engine(
             cfg, mesh, cache_len=1 << 20, chunk=4096, param_specs=specs)
-        res["topology"] = str(topo)
+        res["topology"] = getattr(topo, "platform_version", None) or "v5e 2x4"
         return res
     except Exception as e:  # noqa: BLE001
         return {"error": f"{type(e).__name__}: {e}"[:500]}
 
 
 def single_chip_shard_proxy(cfg):
-    """Compile the 1/8-shard shapes on the attached chip itself."""
+    """Compile the 1/8-shard shapes on the attached chip itself.
+
+    Full 28-layer params as arguments are 20 GB — over one chip's HBM on
+    their own (the TPU compiler counts argument bytes, r5 measured), so
+    the proxy compiles a 7-layer depth slice: the scan body is identical
+    and temp/alias scheduling scales per-layer."""
+    import dataclasses
+
     import jax
 
+    cfg = dataclasses.replace(cfg, num_hidden_layers=7)
     dev = jax.devices()[:1]
     mesh = jax.sharding.Mesh(
         np.asarray(dev).reshape(1, 1, 1, 1),
@@ -158,6 +166,7 @@ def single_chip_shard_proxy(cfg):
         cfg, mesh, cache_len=(1 << 20) // 8, chunk=4096 // 8,
         param_specs=None,
     )
+    res["proxy_layers"] = cfg.num_hidden_layers
     # at runtime each device holds 1/8 of the params under FSDP plus one
     # layer's all-gather buffer; the proxy passes full params as arguments
     # instead, so size the real resident figure analytically
@@ -193,7 +202,10 @@ def main():
     print(json.dumps(dev8, indent=2)[:2000], flush=True)
 
     print("compiling single-chip 1/8-shard proxy ...", flush=True)
-    proxy = single_chip_shard_proxy(cfg)
+    try:
+        proxy = single_chip_shard_proxy(cfg)
+    except Exception as e:  # noqa: BLE001 — record, don't lose dev8
+        proxy = {"error": f"{type(e).__name__}: {e}"[:500]}
     print(json.dumps(proxy, indent=2), flush=True)
 
     on_chip = {

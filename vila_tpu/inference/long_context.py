@@ -7,15 +7,21 @@ cache along the sequence axis of a `jax.sharding.Mesh` so context scales
 with the number of chips:
 
   * **Chunked prefill**: the prompt streams through in fixed-size chunks;
-    each chunk's attention reads the whole sharded cache (GSPMD partitions
-    the softmax over the sequence axis — the collectives ride ICI).
+    each chunk attends to the read-only old cache per shard (local
+    online-softmax) plus its own replicated rows, merged with one
+    LSE-weighted psum that rides ICI.
   * **Sharded decode**: per step the new token's q is replicated, attention
     reduces over every device's KV shard, and the new KV row lands on the
-    shard owning the current fill slot (a dynamic_update_slice into a
-    sequence-sharded array — XLA turns it into a masked local update).
+    shard owning the current fill slot.
+  * **Collective-free append**: the cache is never written inside the
+    layer scan — a dynamic_update_slice at a dynamic fill offset into a
+    sequence-sharded dim makes GSPMD all-gather the WHOLE cache per layer
+    (30 GB at the 8B/1M shape, measured by the real TPU compiler). Layers
+    emit their new KV rows as scan outputs and one shard_map writes every
+    layer's rows into the local shard (qwen2.forward `cache_append` mode).
 
-This is deliberately GSPMD-first (annotate shardings, let XLA insert the
-collectives) rather than a hand-written ring: decode is latency-bound on
+Attention itself stays GSPMD/shard_map-hybrid (annotate shardings, one
+psum merge) rather than a hand-written ring: decode is latency-bound on
 one new token, where a one-shot psum LSE-merge beats P2P ring rotation.
 The training-side ring/Ulysses kernels (parallel/ring_attention.py) remain
 the throughput path for full-sequence work.
@@ -98,18 +104,30 @@ class LongContextEngine:
             )()
 
     def _make_sharded_attend(self):
-        """Chunk-prefill attention over the seq-sharded cache: shard_map
-        runs memory-bounded local attention per device (q replicated, KV
-        local shard) and merges across shards with one LSE-weighted psum.
+        """Deferred-append attention over the seq-sharded cache: shard_map
+        runs memory-bounded local attention per device (q replicated, old
+        KV local shard, cache READ-ONLY), folds in the current chunk's own
+        replicated K/V rows, and merges everything with one LSE-weighted
+        psum.
 
-        Design note: leaving this to GSPMD over `attention_xla` partitions
-        the softmax but still materializes each device's (Sq, Skv/n) score
-        slab — at 1M-token context that is gigabytes per layer. Local
-        online-softmax + LSE merge keeps peak memory at (Sq, block) per
-        device and the collective payload at one (Sq, Hq, D) tile, which
-        rides ICI. Same recurrence as the training ring
-        (parallel/ring_attention.py) minus the rotation — decode-side a
-        one-shot psum beats P2P ring for a single chunk."""
+        Design notes:
+          * Leaving this to GSPMD over `attention_xla` partitions the
+            softmax but still materializes each device's (Sq, Skv/n) score
+            slab — at 1M-token context that is gigabytes per layer. Local
+            online-softmax + LSE merge keeps peak memory at (Sq, block)
+            per device and the collective payload at one (Sq, Hq, D)
+            tile, which rides ICI. Same recurrence as the training ring
+            (parallel/ring_attention.py) minus the rotation — decode-side
+            a one-shot psum beats P2P ring for a single chunk.
+          * The chunk's rows are NOT read back from the cache: a
+            dynamic_update_slice at a dynamic fill offset into the
+            seq-sharded buffer makes GSPMD all-gather the whole cache per
+            layer (the real TPU compiler reports a 30 GB gather at the
+            8B/1M shape). The chunk K/V arrive as replicated extras
+            (`new_k`/`new_v`, qwen2.forward cache_append mode), intra-
+            chunk causal attention is computed identically on every
+            device, and its statistics join the merge OUTSIDE the psum so
+            they count once."""
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -118,7 +136,7 @@ class LongContextEngine:
         ax = self.seq_axes
         mesh = self.mesh
 
-        def local_fn(q, k, v, qp, kvp, qs, kvs):
+        def local_fn(q, k, v, qp, kvp, qs, kvs, nk, nv, nkvp, nkvs):
             acc, l, m = attention_blocked(
                 q, k, v,
                 causal=True,
@@ -128,12 +146,26 @@ class LongContextEngine:
                 kv_segment_ids=kvs,
                 return_stats=True,
             )
-            m_g = jax.lax.pmax(m, ax)  # (B, Hq, Sq)
+            # chunk self-attention: replicated inputs, same result on
+            # every device — merged once, outside the psum
+            acc_c, l_c, m_c = attention_blocked(
+                q, nk, nv,
+                causal=True,
+                q_positions=qp,
+                kv_positions=nkvp,
+                q_segment_ids=qs,
+                kv_segment_ids=nkvs,
+                return_stats=True,
+            )
+            m_g = jnp.maximum(jax.lax.pmax(m, ax), m_c)  # (B, Hq, Sq)
             w = jnp.exp(jnp.where(m <= _NEG_INF * 0.5, _NEG_INF, m - m_g))
+            w_c = jnp.exp(
+                jnp.where(m_c <= _NEG_INF * 0.5, _NEG_INF, m_c - m_g)
+            )
             num = jax.lax.psum(
                 acc * w.transpose(0, 2, 1)[..., None], ax
-            )
-            den = jax.lax.psum(l * w, ax)
+            ) + acc_c * w_c.transpose(0, 2, 1)[..., None]
+            den = jax.lax.psum(l * w, ax) + l_c * w_c
             den = jnp.maximum(den, 1e-30).transpose(0, 2, 1)[..., None]
             return (num / den).astype(q.dtype)
 
@@ -143,6 +175,7 @@ class LongContextEngine:
             in_specs=(
                 P(), P(None, ax), P(None, ax),
                 P(), P(None, ax), P(), P(None, ax),
+                P(), P(), P(), P(),
             ),
             out_specs=P(),
             check_rep=False,
@@ -150,19 +183,106 @@ class LongContextEngine:
 
         def attend(q, k, v, *, causal=True, q_positions=None,
                    kv_positions=None, q_segment_ids=None,
-                   kv_segment_ids=None, **_):
+                   kv_segment_ids=None, new_k=None, new_v=None,
+                   new_kv_positions=None, new_kv_seg=None, **_):
             assert causal and q_positions is not None
+            assert new_k is not None, (
+                "sharded attend requires qwen2.forward cache_append mode"
+            )
             return sharded(
                 q, k, v, q_positions, kv_positions,
                 q_segment_ids, kv_segment_ids,
+                new_k, new_v, new_kv_positions, new_kv_seg,
             )
 
         return attend
+
+    def _flat_axis_index(self):
+        """Linear shard index over self.seq_axes (major-to-minor, matching
+        how GSPMD blocks a dim sharded over an axis tuple)."""
+        ax = self.seq_axes
+        sizes = [self.mesh.shape[a] for a in ax]
+
+        def flat():
+            idx = jnp.zeros((), jnp.int32)
+            for a, size in zip(ax, sizes):
+                idx = idx * size + jax.lax.axis_index(a)
+            return idx
+
+        return flat
+
+    def _make_cache_append(self):
+        """Collective-free append of the chunk's KV rows into the sharded
+        cache: each device slices an s-row window of ITS shard around the
+        global write offset, selects per row whether a new row lands there
+        (handles chunks straddling a shard boundary), and writes the
+        window back. Touches s rows per shard per step — the in-place
+        update dynamic_update_slice would do on one chip, without the
+        full-cache all-gather GSPMD inserts for a dynamic offset into a
+        sharded dim."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        ax = self.seq_axes
+        mesh = self.mesh
+        flat_idx = self._flat_axis_index()
+
+        def local_fn(ck, cv, valid, k_rows, v_rows, token_valid, fill):
+            L, B, local_len, kvd = ck.shape
+            s = k_rows.shape[2]
+            # this shard's overlap with [fill, fill+s) is contiguous and at
+            # most min(s, local_len) rows — one w-row window covers it even
+            # when the chunk straddles several shards
+            w = min(s, local_len)
+            rel = fill - flat_idx() * local_len  # window start, this shard
+            relc = jnp.clip(rel, 0, local_len - w)
+            pos = relc + jnp.arange(w, dtype=jnp.int32)  # local slots
+            src = pos - rel  # which chunk row lands at each slot
+            sel = (src >= 0) & (src < s)
+            srcc = jnp.clip(src, 0, s - 1)
+
+            def write(buf, rows):
+                old = jax.lax.dynamic_slice(
+                    buf, (0, 0, relc, 0), (L, B, w, kvd)
+                )
+                new = jnp.where(
+                    sel[None, None, :, None],
+                    jnp.take(rows, srcc, axis=2).astype(buf.dtype),
+                    old,
+                )
+                return jax.lax.dynamic_update_slice(
+                    buf, new, (0, 0, relc, 0)
+                )
+
+            old_v = jax.lax.dynamic_slice(valid, (0, relc), (B, w))
+            new_valid = jax.lax.dynamic_update_slice(
+                valid,
+                jnp.where(
+                    sel[None, :], jnp.take(token_valid, srcc, axis=1), old_v
+                ),
+                (0, relc),
+            )
+            return write(ck, k_rows), write(cv, v_rows), new_valid
+
+        return shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(
+                P(None, None, ax, None), P(None, None, ax, None),
+                P(None, ax), P(), P(), P(), P(),
+            ),
+            out_specs=(
+                P(None, None, ax, None), P(None, None, ax, None),
+                P(None, ax),
+            ),
+            check_rep=False,
+        )
 
     @functools.cached_property
     def _prefill_chunk_fn(self):
         cfg = self.cfg
         attend = self._make_sharded_attend()
+        append = self._make_cache_append()
 
         def step(params, embeds, token_valid, last, cache):
             logits, cache = qwen2.forward(
@@ -172,6 +292,7 @@ class LongContextEngine:
                 cache=cache,
                 gather_position=last,  # last REAL token (tail chunk is padded)
                 attn_impl=attend,  # sharded memory-bounded attention
+                cache_append=append,  # collective-free sharded KV write
             )
             return logits[:, 0], cache
 
@@ -188,6 +309,8 @@ class LongContextEngine:
     @functools.cached_property
     def _decode_fn(self):
         cfg = self.cfg
+        attend = self._make_sharded_attend()
+        append = self._make_cache_append()
 
         def step(params, tok, positions, cache, steps):
             def body(carry, _):
@@ -197,7 +320,8 @@ class LongContextEngine:
                     input_ids=tok[:, None],
                     positions=pos[:, None],
                     cache=cache,
-                    attn_impl="xla",
+                    attn_impl=attend,
+                    cache_append=append,
                 )
                 nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
                 return (nxt, cache, pos + 1), nxt

@@ -234,6 +234,7 @@ def forward(
     return_hidden: bool = False,
     attn_impl: str = "auto",
     sp: Optional[Any] = None,  # parallel.sp.SPConfig: MM-SP attention
+    cache_append: Optional[Any] = None,  # deferred sharded-cache append hook
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Run the decoder. Returns (logits_or_hidden, updated_cache).
 
@@ -242,6 +243,19 @@ def forward(
     A vector `fill` (see `init_cache(per_slot_fill=True)`) writes each row
     at its own cursor — the continuous-batching decode path.
     Without `cache`, standard causal (optionally packed) attention.
+
+    With `cache_append` (requires `cache`, scalar fill, and a callable
+    `attn_impl`), the layer scan never WRITES the cache: a
+    `dynamic_update_slice` at a dynamic `fill` into a sequence-SHARDED
+    cache makes GSPMD all-gather the full cache per layer (30 GB at the
+    8B/1M shape — measured by the real TPU compiler, scripts/
+    longctx_onchip.py). Instead each layer (a) attends over the read-only
+    old cache via `attn_impl` — which receives the chunk's freshly
+    projected `new_k`/`new_v` to LSE-merge intra-chunk attention — and
+    (b) emits its new KV rows as scan outputs; after the scan ONE
+    `cache_append(k, v, valid, k_new, v_new, token_valid, fill)` call
+    (e.g. a shard_map local update, inference/long_context.py) writes all
+    L layers' rows into the sharded buffers with no collectives.
 
     With `sp` (an active `vila_tpu.parallel.sp.SPConfig`), the cache-free
     attention runs sequence-parallel — ring/Ulysses/hybrid under shard_map
@@ -266,6 +280,15 @@ def forward(
         positions, cfg.head_dim_, cfg.rope_theta, cfg.rope_linear_scaling
     )
 
+    deferred = cache_append is not None
+    if deferred:
+        assert cache is not None and callable(attn_impl), (
+            "cache_append requires a cache and a callable attn_impl"
+        )
+        assert cache["fill"].ndim == 0, (
+            "deferred append supports scalar fill only"
+        )
+
     new_valid = None
     q_slots = kv_slots = kv_seg = q_seg = None
     write_rows = None  # (b, s) per-row write indices when fill is a vector
@@ -281,9 +304,14 @@ def forward(
             ].set(token_valid, mode="drop")
             q_slots = write_rows
         else:
-            new_valid = jax.lax.dynamic_update_slice(
-                cache["valid"], token_valid, (0, fill)
-            )
+            if deferred:
+                # the hook updates `valid` locally per shard; a DUS here
+                # would all-gather the sharded (B, S) slab every step
+                new_valid = None
+            else:
+                new_valid = jax.lax.dynamic_update_slice(
+                    cache["valid"], token_valid, (0, fill)
+                )
             # Mask by slot index (writes are sequential) + slot validity.
             q_slots = jnp.broadcast_to(
                 jnp.arange(s, dtype=jnp.int32), (b, s)
@@ -291,7 +319,11 @@ def forward(
         kv_slots = jnp.broadcast_to(
             jnp.arange(max_len, dtype=jnp.int32), (b, max_len)
         )
-        kv_seg = new_valid.astype(jnp.int32)
+        # Deferred mode attends old rows via the cache (pre-append valid)
+        # and the current chunk via new_k/new_v passed to the hook.
+        kv_seg = (
+            cache["valid"] if deferred else new_valid
+        ).astype(jnp.int32)
         q_seg = jnp.ones((b, s), jnp.int32)
 
     fp8 = cfg.fp8_matmul
@@ -362,6 +394,38 @@ def forward(
         v = v.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim_)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+
+        if cache is not None and deferred:
+            # Read-only old-cache attention; the hook folds in the chunk's
+            # own rows (replicated, small) with an LSE merge. New rows are
+            # returned for the post-scan cache_append.
+            kf = k.reshape(b, s, -1)
+            vf = v.reshape(b, s, -1)
+            ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
+            max_len = ck.shape[1]
+            ck = ck.reshape(
+                b, max_len, cfg.num_key_value_heads, cfg.head_dim_
+            )
+            cv = cv.reshape(
+                b, max_len, cfg.num_key_value_heads, cfg.head_dim_
+            )
+            attn = attn_impl(
+                q, ck.astype(dtype), cv.astype(dtype),
+                causal=True,
+                q_positions=q_slots,
+                kv_positions=kv_slots,
+                q_segment_ids=q_seg,
+                kv_segment_ids=kv_seg,
+                new_k=k.astype(dtype),
+                new_v=v.astype(dtype),
+                new_kv_positions=q_slots,
+                new_kv_seg=token_valid.astype(jnp.int32),
+            )
+            attn = attn.reshape(
+                b, s, cfg.num_attention_heads * cfg.head_dim_
+            )
+            return attn, ck_all, cv_all, (kf, vf)
 
         if cache is not None:
             fill = cache["fill"]
@@ -445,7 +509,7 @@ def forward(
             )
 
         attn = attn.reshape(b, s, cfg.num_attention_heads * cfg.head_dim_)
-        return attn, ck_all, cv_all
+        return attn, ck_all, cv_all, None
 
     def layer_fn(carry, xs):
         # Decode: the FULL (L, ...) KV cache rides the scan carry and is
@@ -468,7 +532,7 @@ def forward(
             q = lin(x, "q_proj", lp, l)
             k = lin(x, "k_proj", lp, l)
             v = lin(x, "v_proj", lp, l)
-        attn, ck_all, cv_all = _attend(q, k, v, ck_all, cv_all, l)
+        attn, ck_all, cv_all, newkv = _attend(q, k, v, ck_all, cv_all, l)
         h = h + lin(_pad_attn(attn), "o_proj", lp, l)
 
         x = rms_norm(h, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
@@ -479,7 +543,7 @@ def forward(
             gate = lin(x, "gate_proj", lp, l)
             up = lin(x, "up_proj", lp, l)
         h = h + lin(jax.nn.silu(gate) * up, "down_proj", lp, l)
-        return (h, ck_all, cv_all), None
+        return (h, ck_all, cv_all), (newkv if deferred else None)
 
     def fused_layer_fn(carry, l):
         # Fused-kernel decode body (ops/fused_decode.py): the scan carries
@@ -496,7 +560,7 @@ def forward(
             qkv[..., nq : nq + nkv],
             qkv[..., nq + nkv :],
         )
-        attn, ck_all, cv_all = _attend(q, k, v, ck_all, cv_all, l)
+        attn, ck_all, cv_all, _newkv = _attend(q, k, v, ck_all, cv_all, l)
         h2, gu = fused_decode.fused_o_gateup(
             _pad_attn(attn).reshape(b * s, -1).astype(jnp.bfloat16),
             h.reshape(b * s, -1),
@@ -518,6 +582,7 @@ def forward(
 
     use_fused = (
         cache is not None
+        and not deferred
         and s == 1
         and b * s <= 32
         and {"qkv_proj", "o_proj", "gate_up_proj", "down_proj"}
@@ -740,10 +805,17 @@ def forward(
             dummy = jnp.zeros((0,), dtype)
             carry0 = (h, dummy, dummy)
 
-        (h, new_k, new_v), _ = jax.lax.scan(body, carry0, xs)
+        (h, new_k, new_v), layer_ys = jax.lax.scan(body, carry0, xs)
 
     new_cache = None
     if cache is not None:
+        if deferred:
+            # (L, b, s, Hkv*hd) stacked new rows -> one local sharded write
+            k_rows, v_rows = layer_ys
+            new_k, new_v, new_valid = cache_append(
+                cache["k"], cache["v"], cache["valid"],
+                k_rows, v_rows, token_valid, cache["fill"],
+            )
         new_cache = {
             "k": new_k,
             "v": new_v,
