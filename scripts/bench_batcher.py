@@ -44,6 +44,15 @@ def run_load(engine, *, max_batch, max_len, prefill_chunk, seconds,
     long_text = "the quick brown fox jumps over the lazy dog " * 40
     short_prompt = [img, "describe this image in detail"]
 
+    # Warm-up OUTSIDE the measured window: one short and one long request
+    # compile every prefill bucket, the decode step, and the row insert
+    # (remote compiles take minutes over the dev tunnel; measuring them as
+    # TTFT made the first window report 680 s p50, r5).
+    for p in (short_prompt, long_text):
+        q = batcher.submit(p, GenerationConfig(max_new_tokens=4))
+        while q.get() is not None:
+            pass
+
     ttfts, gaps = [], []
     lock = threading.Lock()
     stop_flag = threading.Event()
@@ -121,15 +130,28 @@ def main():
     engine = GenerationEngine(params, cfg, tok)
 
     out = {"model": "8B-shape W4A16 (synthetic weights, perf-only)",
-           "max_batch": 8,
            "load": f"1 req / {args.arrival}s, 1-in-4 long (~1.8k tok), "
                    f"{args.seconds}s window, 64 new tokens each"}
-    for name, chunk in (("monolithic", 0), ("chunked_512", 512)):
-        print(f"--- {name} (prefill_chunk={chunk}) ---", flush=True)
+    # monolithic vs chunked admission at max_batch=8, plus the bs<=16
+    # megakernel point under chunked admission (VERDICT r4 #6); arrivals
+    # double at 16 so the larger batch actually fills. Rates are sized to
+    # ~50-60% of decode capacity: every decode step is one blocking host
+    # call over the dev tunnel (~30 ms RTT floor -> ~216 tok/s at bs8),
+    # so saturating arrivals only measure queue growth.
+    runs = (
+        ("monolithic_bs8", 8, 0, args.arrival),
+        ("chunked_512_bs8", 8, 512, args.arrival),
+        ("chunked_512_bs16", 16, 512, args.arrival / 2),
+    )
+    for name, max_batch, chunk, arrival in runs:
+        print(f"--- {name} (prefill_chunk={chunk}, max_batch={max_batch},"
+              f" 1 req / {arrival}s) ---", flush=True)
         r = run_load(
-            engine, max_batch=8, max_len=2560, prefill_chunk=chunk,
-            seconds=args.seconds, arrival_s=args.arrival, long_every=4,
+            engine, max_batch=max_batch, max_len=2560, prefill_chunk=chunk,
+            seconds=args.seconds, arrival_s=arrival, long_every=4,
         )
+        r["max_batch"] = max_batch
+        r["arrival_s"] = arrival
         out[name] = r
         print(name, json.dumps(r), flush=True)
 

@@ -93,8 +93,13 @@ class ContinuousBatcher:
         self.top_ks = np.zeros((max_batch,), np.int32)
         self._rng = jax.random.PRNGKey(0)
         self._pending: "queue.Queue[_Request]" = queue.Queue()
-        # admissions prepared off-loop by the worker, awaiting a free slot
-        self._ready: "queue.Queue" = queue.Queue()
+        # Admissions prepared off-loop by the worker, awaiting a free slot.
+        # BOUNDED: each prepared admission pins a full bs=1 KV cache on
+        # device (~150 MB at the 8B/2560 shape), so an unbounded queue
+        # under sustained load exhausts HBM (r5, found by
+        # scripts/bench_batcher.py). Holding more than a couple prepared
+        # admissions buys nothing — the worker blocks until a slot frees.
+        self._ready: "queue.Queue" = queue.Queue(maxsize=2)
         self._wake = threading.Event()
         self._stop = False
         self._thread: Optional[threading.Thread] = None
@@ -315,8 +320,13 @@ class ContinuousBatcher:
                 req.out.put(e)
                 req.out.put(None)
                 continue
-            self._ready.put(prepared)
-            self._wake.set()
+            while not self._stop:  # bounded queue: block, but stay stoppable
+                try:
+                    self._ready.put(prepared, timeout=0.1)
+                    self._wake.set()
+                    break
+                except queue.Full:
+                    continue
 
     def _emit(self, slot_idx: int, tok: int) -> None:
         slot = self.slots[slot_idx]
