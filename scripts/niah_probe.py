@@ -203,7 +203,8 @@ def cmd_train(args):
 
     # stage 2: grow filler with replay of every earlier length
     seen = [dense]
-    growth = [c for c in (128, 256, 512, 1024, 2048, 4096, 8192)
+    growth = [c for c in (128, 256, 512, 1024, 2048, 4096, 8192,
+                          16384, 32768)
               if c > dense]
     for ctx in growth:
         seen.append(ctx)
