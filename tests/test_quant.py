@@ -405,3 +405,36 @@ def test_batched_mega_decode_matches_per_op_path(monkeypatch):
         np.testing.assert_allclose(
             logits_ref, logits_mega, atol=3e-2, rtol=0.05
         )
+
+
+def test_int8_dots_pin_precision_under_ambient_highest():
+    """s8xs8 MXU matmuls take no contract precision: an ambient
+    jax_default_matmul_precision=highest must not stamp fp32 precision
+    onto them (Mosaic rejects it with "Bad lhs type" on real TPU, r5
+    measured). The kernels pin Precision.DEFAULT explicitly; assert the
+    traced jaxpr keeps it even when the global default says otherwise."""
+    def int_dots(jaxpr):
+        out = []
+        for eq in jaxpr.eqns:
+            if eq.primitive.name == "dot_general":
+                if any(v.aval.dtype == jnp.int8 for v in eq.invars):
+                    out.append(eq.params["precision"])
+            for sub in eq.params.values():
+                if hasattr(sub, "jaxpr"):
+                    out.extend(int_dots(sub.jaxpr))
+        return out
+
+    a = jnp.zeros((8, 128), jnp.int8)
+    b = jnp.zeros((128, 128), jnp.int8)
+    with jax.default_matmul_precision("highest"):
+        precs = int_dots(jax.make_jaxpr(quant._d8)(a, b).jaxpr)
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(128, 128)).astype(np.float32))
+        p = quant.quantize_w8a8(w)
+        x = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+        precs += int_dots(
+            jax.make_jaxpr(
+                lambda x: quant.w8a8_linear(x, p, jnp.float32))(x).jaxpr)
+    assert precs, "no int8 dot_general found — kernel layout changed?"
+    for pr in precs:
+        assert pr != (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST), pr

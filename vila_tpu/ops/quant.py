@@ -193,6 +193,7 @@ def w8a8_linear(x: jnp.ndarray, p: Dict[str, Any], dtype) -> jnp.ndarray:
         xq, p["w8"],
         (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,  # see _d8: int matmuls take none
     )
     y = acc.astype(jnp.float32) * (a * (1.0 / 127.0)) * p["w_scale"]
     y = y.astype(dtype)
@@ -302,8 +303,12 @@ def _int8_digits(x32: jnp.ndarray, digits: int):
 
 
 def _d8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    # precision pinned: an ambient jax_default_matmul_precision=highest
+    # would stamp contract_precision<fp32> onto this s8xs8 matmul, which
+    # Mosaic rejects ("Bad lhs type") — integer MXU ops take no precision.
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
     ).astype(jnp.float32)
 
 
