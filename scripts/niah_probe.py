@@ -205,13 +205,14 @@ def cmd_train(args):
     seen = [dense]
     growth = [c for c in (128, 256, 512, 1024, 2048, 4096, 8192,
                           16384, 32768)
-              if c > dense]
+              if dense < c <= args.max_ctx]
     for ctx in growth:
         seen.append(ctx)
-        bsz = max(2, min(32, 65536 // ctx))
+        bsz = max(2, min(32, args.batch_tokens // ctx))
         for it in range(args.growth_steps):
             c = ctx if it % 2 == 0 else seen[(it // 2) % len(seen)]
-            ids, labels = make_batch(rng, max(2, min(32, 65536 // c)), c)
+            ids, labels = make_batch(
+                rng, max(2, min(32, args.batch_tokens // c)), c)
             params, opt_state, loss = step(
                 params, opt_state, jnp.asarray(ids), jnp.asarray(labels))
             if it % 50 == 0 or it == args.growth_steps - 1:
@@ -302,6 +303,10 @@ def main():
     tr.add_argument("--steps", type=int, default=4000)
     tr.add_argument("--growth_steps", type=int, default=300)
     tr.add_argument("--lr", type=float, default=2e-3)
+    tr.add_argument("--max_ctx", type=int, default=32768,
+                    help="cap stage-2 growth (CPU boxes: 2048)")
+    tr.add_argument("--batch_tokens", type=int, default=65536,
+                    help="token budget per stage-2 batch")
     ev = sub.add_parser("eval")
     ev.add_argument("--round", type=int, default=0)
     ev.add_argument("--contexts", type=int, nargs="+",
@@ -320,6 +325,13 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         cmd_eval(args)
     else:
+        if os.environ.get("JAX_PLATFORMS") == "cpu":
+            # the ambient env re-pins the TPU plugin even over the env
+            # var (see tests/conftest.py) — the config update is the
+            # only reliable override
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         cmd_train(args)
 
 
