@@ -45,6 +45,10 @@ class GenerationConfig:
     # structured output (ResponseFormat parity, configuration_llava.py:119):
     # "json_object" or a JSON-schema dict
     response_format: Optional[Any] = None
+    # prompt-lookup speculative decoding (inference/speculative.py):
+    # draft length gamma; 0 = off. Greedy-exact, so it only engages for
+    # do_sample=False (sampling falls back to the vanilla loop).
+    lookup_gamma: int = 0
 
 
 def _bucket(n: int, sizes: Sequence[int]) -> int:
@@ -740,6 +744,13 @@ class GenerationEngine:
             return
         yield [first]
 
+        if gc.lookup_gamma > 0 and not gc.do_sample:
+            yield from self._spec_loop(
+                gc, expanded_ids, tok, cache, prompt_len, cache_len,
+                stop_ids,
+            )
+            return
+
         positions = jnp.asarray([prompt_len], jnp.int32)
         steps_left = gc.max_new_tokens - 1
         pos = prompt_len
@@ -767,6 +778,52 @@ class GenerationEngine:
                 yield accepted
             steps_left -= steps
             pos += steps
+
+    @functools.cached_property
+    def _spec_chunk(self):
+        from vila_tpu.inference.speculative import build_spec_decode
+
+        return build_spec_decode(self.cfg.llm)
+
+    def _spec_loop(self, gc, expanded_ids, tok, cache, prompt_len,
+                   cache_len, stop_ids):
+        """Prompt-lookup speculative decode loop (greedy-exact; see
+        inference/speculative.py). `tok` is the prefill's first token."""
+        from vila_tpu.inference.speculative import init_history
+
+        gamma = int(gc.lookup_gamma)
+        first = int(np.asarray(tok)[0])
+        # history gets a slack tail: the last iteration may write up to
+        # gamma rejected candidates past the live length
+        hist, hlen = init_history(
+            expanded_ids, first, cache_len + 8 * (gamma + 1)
+        )
+        cur = jnp.asarray(tok, jnp.int32)
+        prev = jnp.asarray([int(expanded_ids[-1])], jnp.int32)
+        pos = jnp.asarray(prompt_len, jnp.int32)
+        steps_left = gc.max_new_tokens - 1
+        while steps_left > 0:
+            max_out = min(self.decode_chunk, steps_left)
+            out, out_len, cur, prev, pos, cache, hist, hlen, _ = (
+                self._spec_chunk(
+                    self.params, cur, prev, pos, cache, hist, hlen,
+                    max_out=max_out, gamma=gamma,
+                )
+            )
+            n = int(out_len)
+            if n == 0:
+                return  # cache capacity exhausted (< gamma+1 slots left)
+            chunk = np.asarray(out)[: min(n, steps_left)].tolist()
+            accepted = []
+            for t in chunk:
+                if t in stop_ids:
+                    if accepted:
+                        yield accepted
+                    return
+                accepted.append(t)
+            if accepted:
+                yield accepted
+            steps_left -= len(chunk)
 
     def _ps3_top_down_prompt(self, inputs: Dict[str, Any]) -> jnp.ndarray:
         """PS3 pass 1: encode low-res only, run the LLM over the user
